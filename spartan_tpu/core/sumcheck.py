@@ -1,0 +1,386 @@
+"""Sumcheck protocol engines (plain, batched, and zero-knowledge).
+
+TPU-native counterpart of /root/reference/src/sumcheck.rs. Per round, the
+degree-d round polynomial's evaluations at {0, 2, 3} are one fused device
+reduction over the table halves (the "eval at {0,2,3} trick",
+sumcheck.rs:89-161); the table folds are the same elementwise kernel as
+``DensePolynomial.bound_poly_var_top``. The host drives the transcript and
+the tiny per-round algebra; the ZK variant additionally commits each round
+polynomial and proves the two claims with a batched DotProductProof
+(sumcheck.rs:465-811).
+
+Batched non-ZK sumcheck (used by the product-tree layer proofs) stacks all
+instances on a leading axis so a round costs two kernel launches regardless
+of instance count.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from spartan_tpu.core import mle
+from spartan_tpu.core.commitments import MultiCommitGens, commit, commit_scalar
+from spartan_tpu.core.group import GroupElem
+from spartan_tpu.core.nizk import DotProductProof
+from spartan_tpu.core.unipoly import CompressedUniPoly, UniPoly
+from spartan_tpu.ops import field_jax as F
+from spartan_tpu.ops.fields_host import FR_MOD
+from spartan_tpu.utils.errors import ProofVerifyError
+
+fr = F.fr
+
+
+# ---------------------------------------------------------------------------
+# fused round kernels
+# ---------------------------------------------------------------------------
+
+def _halves(T):
+    n = T.shape[-2] // 2
+    return T[..., :n, :], T[..., n:, :]
+
+
+def _extrapolate(lo, hi):
+    """Table values at points 2 and 3: 2*hi - lo and 3*hi - 2*lo."""
+    p2 = fr.sub(fr.add(hi, hi), lo)
+    p3 = fr.sub(fr.add(p2, hi), lo)
+    return p2, p3
+
+
+@jax.jit
+def k_cubic_prod_evals(A, B, C):
+    """Round evals (e0,e2,e3) of sum A*B*C; tables [..., N, 16] batched."""
+    aL, aH = _halves(A)
+    bL, bH = _halves(B)
+    cL, cH = _halves(C)
+    a2, a3 = _extrapolate(aL, aH)
+    b2, b3 = _extrapolate(bL, bH)
+    c2, c3 = _extrapolate(cL, cH)
+    e0 = fr.reduce_sum(fr.mul(fr.mul(aL, bL), cL), axis=-2)
+    e2 = fr.reduce_sum(fr.mul(fr.mul(a2, b2), c2), axis=-2)
+    e3 = fr.reduce_sum(fr.mul(fr.mul(a3, b3), c3), axis=-2)
+    return e0, e2, e3
+
+
+@jax.jit
+def k_cubic_additive_evals(T, A, B, C):
+    """Round evals of sum tau * (Az*Bz - Cz) (sumcheck.rs:465-530)."""
+    tL, tH = _halves(T)
+    aL, aH = _halves(A)
+    bL, bH = _halves(B)
+    cL, cH = _halves(C)
+    t2, t3 = _extrapolate(tL, tH)
+    a2, a3 = _extrapolate(aL, aH)
+    b2, b3 = _extrapolate(bL, bH)
+    c2, c3 = _extrapolate(cL, cH)
+
+    def comb(t, a, b, c):
+        return fr.mul(t, fr.sub(fr.mul(a, b), c))
+
+    e0 = fr.reduce_sum(comb(tL, aL, bL, cL), axis=-2)
+    e2 = fr.reduce_sum(comb(t2, a2, b2, c2), axis=-2)
+    e3 = fr.reduce_sum(comb(t3, a3, b3, c3), axis=-2)
+    return e0, e2, e3
+
+
+@jax.jit
+def k_quad_evals(A, B):
+    """Round evals (e0, e2) of sum A*B (sumcheck.rs:684-699)."""
+    aL, aH = _halves(A)
+    bL, bH = _halves(B)
+    a2 = fr.sub(fr.add(aH, aH), aL)
+    b2 = fr.sub(fr.add(bH, bH), bL)
+    e0 = fr.reduce_sum(fr.mul(aL, bL), axis=-2)
+    e2 = fr.reduce_sum(fr.mul(a2, b2), axis=-2)
+    return e0, e2
+
+
+@jax.jit
+def k_fold_top(T, r):
+    """bound_poly_var_top over the second-to-last axis, batched leading dims."""
+    n = T.shape[-2] // 2
+    lo, hi = T[..., :n, :], T[..., n:, :]
+    return fr.add(lo, fr.mul(r, fr.sub(hi, lo)))
+
+
+def _decode3(e0, e2, e3):
+    flat = jnp.stack([e0, e2, e3], axis=0)
+    vals = F.decode_fr(flat.reshape(-1, flat.shape[-1]))
+    return vals  # length 3 * prod(batch)
+
+
+# ---------------------------------------------------------------------------
+# non-ZK sumcheck
+# ---------------------------------------------------------------------------
+
+@dataclass
+class SumcheckInstanceProof:
+    compressed_polys: list[CompressedUniPoly]
+
+    def verify(self, claim: int, num_rounds: int, degree_bound: int, transcript):
+        """Returns (final claim e, challenge vector r) (sumcheck.rs:35-86)."""
+        e = claim % FR_MOD
+        r: list[int] = []
+        if len(self.compressed_polys) != num_rounds:
+            raise ProofVerifyError("wrong number of rounds")
+        for i, cp in enumerate(self.compressed_polys):
+            poly = cp.decompress(e)
+            if poly.degree() != degree_bound:
+                raise ProofVerifyError(f"degree mismatch at round {i}")
+            if (poly.eval_at_zero() + poly.eval_at_one()) % FR_MOD != e:
+                raise ProofVerifyError(f"sum check failed at round {i}")
+            poly.append_to_transcript(b"poly", transcript)
+            r_i = transcript.challenge_scalar(b"challenge_nextround")
+            r.append(r_i)
+            e = poly.evaluate(r_i)
+        return e, r
+
+    @staticmethod
+    def prove_cubic(claim: int, num_rounds: int, poly_A, poly_B, poly_C, transcript):
+        """Product comb A*B*C (sumcheck.rs:89-161). Tables are
+        DensePolynomial objects, consumed (folded in place)."""
+        e = claim % FR_MOD
+        r: list[int] = []
+        polys: list[CompressedUniPoly] = []
+        for _ in range(num_rounds):
+            e0, e2, e3 = k_cubic_prod_evals(poly_A.Z, poly_B.Z, poly_C.Z)
+            v = F.decode_fr(jnp.stack([e0, e2, e3]))
+            poly = UniPoly.from_evals([v[0], (e - v[0]) % FR_MOD, v[1], v[2]])
+            poly.append_to_transcript(b"poly", transcript)
+            r_j = transcript.challenge_scalar(b"challenge_nextround")
+            r.append(r_j)
+            r_dev = mle.encode_scalar(r_j)
+            for p in (poly_A, poly_B, poly_C):
+                p.bound_poly_var_top(r_dev)
+            e = poly.evaluate(r_j)
+            polys.append(poly.compress())
+        claims = [poly_A.first(), poly_B.first(), poly_C.first()]
+        return SumcheckInstanceProof(polys), r, claims
+
+    @staticmethod
+    def prove_cubic_batched(claim: int, num_rounds: int,
+                            poly_vec_par, poly_vec_seq, coeffs: list[int], transcript):
+        """Batched product sumcheck (sumcheck.rs:165-330).
+
+        poly_vec_par: (A_list, B_list, C_shared) — DensePolynomials; the
+        "par" instances share C (the eq table). poly_vec_seq: (A_list,
+        B_list, C_list) with per-instance C. All tables equal length.
+        Stacks instances on a leading device axis; each round is two fused
+        kernels + one transcript exchange.
+        """
+        A_par, B_par, C_par = poly_vec_par
+        A_seq, B_seq, C_seq = poly_vec_seq
+        nP, nS = len(A_par), len(A_seq)
+
+        SA = jnp.stack([p.Z for p in A_par] + [p.Z for p in A_seq], axis=0)
+        SB = jnp.stack([p.Z for p in B_par] + [p.Z for p in B_seq], axis=0)
+        if nS:
+            SCseq = jnp.stack([p.Z for p in C_seq], axis=0)
+        SC_par = C_par.Z
+
+        e = claim % FR_MOD
+        r: list[int] = []
+        polys: list[CompressedUniPoly] = []
+
+        for _ in range(num_rounds):
+            if nP:
+                e0p, e2p, e3p = k_cubic_prod_evals(SA[:nP], SB[:nP], SC_par[None])
+            if nS:
+                e0s, e2s, e3s = k_cubic_prod_evals(SA[nP:], SB[nP:], SCseq)
+            if nP and nS:
+                e0 = jnp.concatenate([e0p, e0s]); e2 = jnp.concatenate([e2p, e2s]); e3 = jnp.concatenate([e3p, e3s])
+            elif nP:
+                e0, e2, e3 = e0p, e2p, e3p
+            else:
+                e0, e2, e3 = e0s, e2s, e3s
+            vals = F.decode_fr(jnp.concatenate([e0, e2, e3], axis=0))
+            I = nP + nS
+            ev0, ev2, ev3 = vals[:I], vals[I:2 * I], vals[2 * I:]
+            c0 = sum(ev0[i] * coeffs[i] for i in range(I)) % FR_MOD
+            c2 = sum(ev2[i] * coeffs[i] for i in range(I)) % FR_MOD
+            c3 = sum(ev3[i] * coeffs[i] for i in range(I)) % FR_MOD
+            poly = UniPoly.from_evals([c0, (e - c0) % FR_MOD, c2, c3])
+            poly.append_to_transcript(b"poly", transcript)
+            r_j = transcript.challenge_scalar(b"challenge_nextround")
+            r.append(r_j)
+            r_dev = mle.encode_scalar(r_j)
+            SA = k_fold_top(SA, r_dev)
+            SB = k_fold_top(SB, r_dev)
+            SC_par = k_fold_top(SC_par, r_dev)
+            if nS:
+                SCseq = k_fold_top(SCseq, r_dev)
+            e = poly.evaluate(r_j)
+            polys.append(poly.compress())
+
+        finals_A = F.decode_fr(SA[:, 0, :])
+        finals_B = F.decode_fr(SB[:, 0, :])
+        c_par_final = F.decode_fr(SC_par[0][None])[0]
+        claims_prod = (finals_A[:nP], finals_B[:nP], c_par_final)
+        if nS:
+            finals_C = F.decode_fr(SCseq[:, 0, :])
+            claims_dotp = (finals_A[nP:], finals_B[nP:], finals_C)
+        else:
+            claims_dotp = ([], [], [])
+        return SumcheckInstanceProof(polys), r, claims_prod, claims_dotp
+
+
+# ---------------------------------------------------------------------------
+# ZK sumcheck
+# ---------------------------------------------------------------------------
+
+@dataclass
+class ZKSumcheckInstanceProof:
+    comm_polys: list[GroupElem]
+    comm_evals: list[GroupElem]
+    proofs: list[DotProductProof]
+
+    def verify(self, comm_claim: GroupElem, num_rounds: int, degree_bound: int,
+               gens_1: MultiCommitGens, gens_n: MultiCommitGens, transcript):
+        """Returns (comm of final eval, r) (sumcheck.rs:366-457)."""
+        if len(self.comm_polys) != num_rounds or len(self.proofs) != num_rounds:
+            raise ProofVerifyError("wrong number of rounds")
+        comm_claim_per_round = comm_claim
+        r: list[int] = []
+        for i in range(num_rounds):
+            comm_poly = self.comm_polys[i]
+            comm_poly.append_to_transcript(b"comm_poly", transcript)
+            r_i = transcript.challenge_scalar(b"challenge_nextround")
+            comm_claim_per_round.append_to_transcript(b"comm_claim_per_round", transcript)
+            self.comm_evals[i].append_to_transcript(b"comm_eval", transcript)
+            w = transcript.challenge_vector(b"combine_two_claims_to_one", 2)
+            comm_target = comm_claim_per_round.mul(w[0]).add(self.comm_evals[i].mul(w[1]))
+
+            a_sc = [1] * (degree_bound + 1)
+            a_sc[0] = 2
+            a_eval = [1] * (degree_bound + 1)
+            for j in range(1, degree_bound + 1):
+                a_eval[j] = a_eval[j - 1] * r_i % FR_MOD
+            a = [(w[0] * a_sc[j] + w[1] * a_eval[j]) % FR_MOD for j in range(degree_bound + 1)]
+
+            self.proofs[i].verify(gens_1, gens_n, transcript, a, comm_poly, comm_target)
+            comm_claim_per_round = self.comm_evals[i]
+            r.append(r_i)
+        return self.comm_evals[-1], r
+
+    @staticmethod
+    def _round_tail(poly: UniPoly, r_j: int, claim_per_round: int,
+                    comm_claim_per_round: GroupElem, blind_poly_j: int,
+                    blind_eval_j: int, blind_sc: int,
+                    gens_1, gens_n, transcript, random_tape):
+        """Post-fold half of a ZK round: batch the two claims into one
+        DotProductProof (sumcheck.rs:556-634)."""
+        eval_ = poly.evaluate(r_j)
+        comm_eval = commit_scalar(eval_, blind_eval_j, gens_1)
+        comm_claim_per_round.append_to_transcript(b"comm_claim_per_round", transcript)
+        comm_eval.append_to_transcript(b"comm_eval", transcript)
+        w = transcript.challenge_vector(b"combine_two_claims_to_one", 2)
+        target = (w[0] * claim_per_round + w[1] * eval_) % FR_MOD
+        blind = (w[0] * blind_sc + w[1] * blind_eval_j) % FR_MOD
+
+        deg = poly.degree()
+        a_sc = [1] * (deg + 1)
+        a_sc[0] = 2
+        a_eval = [1] * (deg + 1)
+        for k in range(1, deg + 1):
+            a_eval[k] = a_eval[k - 1] * r_j % FR_MOD
+        a = [(w[0] * a_sc[k] + w[1] * a_eval[k]) % FR_MOD for k in range(deg + 1)]
+
+        proof, _, _ = DotProductProof.prove(
+            gens_1, gens_n, transcript, random_tape,
+            poly.as_vec(), blind_poly_j, a, target, blind,
+        )
+        return proof, eval_, comm_eval
+
+    @staticmethod
+    def prove_cubic_with_additive_term(claim: int, blind_claim: int, num_rounds: int,
+                                       poly_tau, poly_Az, poly_Bz, poly_Cz,
+                                       gens_1, gens_n, transcript, random_tape):
+        """ZK sumcheck of sum tau*(Az*Bz - Cz) (sumcheck.rs:465-649)."""
+        blinds_poly = random_tape.random_vector(b"blinds_poly", num_rounds)
+        blinds_evals = random_tape.random_vector(b"blinds_evals", num_rounds)
+        claim_per_round = claim % FR_MOD
+        comm_claim_per_round = commit_scalar(claim_per_round, blind_claim, gens_1)
+
+        r: list[int] = []
+        comm_polys: list[GroupElem] = []
+        comm_evals: list[GroupElem] = []
+        proofs: list[DotProductProof] = []
+
+        for j in range(num_rounds):
+            e0, e2, e3 = k_cubic_additive_evals(poly_tau.Z, poly_Az.Z, poly_Bz.Z, poly_Cz.Z)
+            v = F.decode_fr(jnp.stack([e0, e2, e3]))
+            poly = UniPoly.from_evals([v[0], (claim_per_round - v[0]) % FR_MOD, v[1], v[2]])
+            comm_poly = commit(poly.as_vec(), blinds_poly[j], gens_n)
+            comm_poly.append_to_transcript(b"comm_poly", transcript)
+            comm_polys.append(comm_poly)
+
+            r_j = transcript.challenge_scalar(b"challenge_nextround")
+            r_dev = mle.encode_scalar(r_j)
+            for p in (poly_tau, poly_Az, poly_Bz, poly_Cz):
+                p.bound_poly_var_top(r_dev)
+
+            blind_sc = blind_claim if j == 0 else blinds_evals[j - 1]
+            proof, eval_, comm_eval = ZKSumcheckInstanceProof._round_tail(
+                poly, r_j, claim_per_round, comm_claim_per_round,
+                blinds_poly[j], blinds_evals[j], blind_sc,
+                gens_1, gens_n, transcript, random_tape,
+            )
+            proofs.append(proof)
+            claim_per_round = eval_
+            comm_claim_per_round = comm_eval
+            r.append(r_j)
+            comm_evals.append(comm_eval)
+
+        claims = [poly_tau.first(), poly_Az.first(), poly_Bz.first(), poly_Cz.first()]
+        return (
+            ZKSumcheckInstanceProof(comm_polys, comm_evals, proofs),
+            r, claims, blinds_evals[num_rounds - 1],
+        )
+
+    @staticmethod
+    def prove_quad(claim: int, blind_claim: int, num_rounds: int,
+                   poly_z, poly_ABC, gens_1, gens_n, transcript, random_tape):
+        """ZK sumcheck of sum z*ABC (sumcheck.rs:657-811)."""
+        blinds_poly = random_tape.random_vector(b"blinds_poly", num_rounds)
+        blinds_evals = random_tape.random_vector(b"blinds_evals", num_rounds)
+        claim_per_round = claim % FR_MOD
+        comm_claim_per_round = commit_scalar(claim_per_round, blind_claim, gens_1)
+
+        r: list[int] = []
+        comm_polys: list[GroupElem] = []
+        comm_evals: list[GroupElem] = []
+        proofs: list[DotProductProof] = []
+
+        for j in range(num_rounds):
+            e0, e2 = k_quad_evals(poly_z.Z, poly_ABC.Z)
+            v = F.decode_fr(jnp.stack([e0, e2]))
+            poly = UniPoly.from_evals([v[0], (claim_per_round - v[0]) % FR_MOD, v[1]])
+            comm_poly = commit(poly.as_vec(), blinds_poly[j], gens_n)
+            comm_poly.append_to_transcript(b"comm_poly", transcript)
+            comm_polys.append(comm_poly)
+
+            r_j = transcript.challenge_scalar(b"challenge_nextround")
+            r_dev = mle.encode_scalar(r_j)
+            poly_z.bound_poly_var_top(r_dev)
+            poly_ABC.bound_poly_var_top(r_dev)
+
+            blind_sc = blind_claim if j == 0 else blinds_evals[j - 1]
+            proof, eval_, comm_eval = ZKSumcheckInstanceProof._round_tail(
+                poly, r_j, claim_per_round, comm_claim_per_round,
+                blinds_poly[j], blinds_evals[j], blind_sc,
+                gens_1, gens_n, transcript, random_tape,
+            )
+            proofs.append(proof)
+            claim_per_round = eval_
+            comm_claim_per_round = comm_eval
+            r.append(r_j)
+            comm_evals.append(comm_eval)
+
+        claims = [poly_z.first(), poly_ABC.first()]
+        return (
+            ZKSumcheckInstanceProof(comm_polys, comm_evals, proofs),
+            r, claims, blinds_evals[num_rounds - 1],
+        )

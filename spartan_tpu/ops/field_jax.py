@@ -1,0 +1,364 @@
+"""Vectorized BN254 field arithmetic on TPU (JAX).
+
+Replaces the arkworks field backend (L0 in SURVEY.md's layer map) with
+batched Montgomery arithmetic over 16x16-bit uint32 limbs. Every function
+is shape-polymorphic over leading axes: inputs ``[..., 16]`` uint32.
+
+Algorithm notes
+---------------
+* ``mul``: the 512-bit schoolbook product is ONE batched matvec: operands
+  are split to 8-bit chunks, a Toeplitz band of `a` is formed by a single
+  static gather, and `einsum(T, b8)` yields all 63 product columns with
+  int32-exact accumulation (32 products of 16-bit values < 2^21). A 16-step
+  Montgomery REDC follows as a ``fori_loop`` whose body shifts the column
+  vector left each round (static shapes, no scatters), then one carry
+  propagation pass and one conditional subtract. Keeping loops rolled makes
+  the whole ``mul`` ~50 HLO ops, so the curve formulas that inline it a
+  dozen times stay cheap to compile; the loop bodies are wide VPU ops so
+  runtime amortizes the loop overhead.
+* ``inv``: Fermat (fixed 254-bit exponent) via ``lax.fori_loop``; batched
+  inputs amortize it. ``batch_inverse`` uses Montgomery's trick with two
+  ``associative_scan`` passes (log-depth) and one Fermat inversion.
+* ``reduce_sum``: limb-wise integer sums in uint32 are exact for <= 2^14
+  terms; larger reductions are chunked, folding the redundant columns back
+  below the modulus between chunks.
+
+Montgomery domain: R = 2^256. An element x is stored as x*R mod p.
+Additions/subtractions are domain-agnostic; ``mul`` computes a*b*R^-1.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spartan_tpu.ops import fields_host as fh
+from spartan_tpu.ops.limbs import LIMB_BITS, LIMB_MASK, NUM_LIMBS, int_to_limbs, ints_to_limbs, limbs_to_ints
+
+_U32 = jnp.uint32
+_NCHUNK = 2 * NUM_LIMBS          # 32 8-bit chunks
+_NCOL8 = 2 * _NCHUNK             # 64 8-bit product columns (padded)
+
+
+class FieldSpec:
+    """Per-field constants in limb form (host numpy, baked into traces)."""
+
+    def __init__(self, modulus: int, name: str):
+        self.name = name
+        self.modulus = modulus
+        self.p_limbs = int_to_limbs(modulus)
+        # p' = -p^{-1} mod 2^16 (Montgomery REDC factor for 16-bit limbs)
+        self.p_prime = (-pow(modulus, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)
+        r1 = (1 << 256) % modulus
+        self.r1 = r1                      # R mod p  == Montgomery form of 1
+        self.r2 = (r1 * r1) % modulus     # R^2 mod p (to-Montgomery factor)
+        self.r1_limbs = int_to_limbs(self.r1)
+        self.r2_limbs = int_to_limbs(self.r2)
+        e = modulus - 2
+        self.inv_exp_bits = np.array([(e >> i) & 1 for i in range(e.bit_length())], dtype=np.uint32)
+
+    def __repr__(self):
+        return f"FieldSpec({self.name})"
+
+
+FR = FieldSpec(fh.FR_MOD, "Fr")
+FQ = FieldSpec(fh.FQ_MOD, "Fq")
+
+
+# ---------------------------------------------------------------------------
+# carry / compare helpers (all operate on [..., L] uint32)
+# ---------------------------------------------------------------------------
+
+def _carry_propagate(d):
+    """Columns (< 2^32 each) -> canonical 16-bit limbs, plus overflow carry.
+
+    Unrolled ripple (straight-line code — XLA compiles big basic blocks far
+    faster than nested while loops, and fuses them into one VPU pass).
+    """
+    K = d.shape[-1]
+    outs = []
+    carry = jnp.zeros(d.shape[:-1], _U32)
+    for j in range(K):
+        t = d[..., j] + carry
+        outs.append(t & LIMB_MASK)
+        carry = t >> LIMB_BITS
+    return jnp.stack(outs, axis=-1), carry
+
+
+def _sub_limbs(a, b):
+    """a - b over 16-bit limb vectors; returns (diff, borrow), borrow in {0,1}."""
+    K = a.shape[-1]
+    outs = []
+    borrow = jnp.zeros(jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]), _U32)
+    for j in range(K):
+        t = a[..., j] + jnp.uint32(1 << LIMB_BITS) - b[..., j] - borrow
+        outs.append(t & LIMB_MASK)
+        borrow = jnp.uint32(1) - (t >> LIMB_BITS)
+    return jnp.stack(outs, axis=-1), borrow
+
+
+def _cond_sub_p(r, spec: FieldSpec):
+    """If r >= p subtract p (r must be < 2p). Branch-free select."""
+    p = jnp.asarray(spec.p_limbs, _U32)
+    diff, borrow = _sub_limbs(r, p)
+    take = (borrow == 0)[..., None]
+    return jnp.where(take, diff, r)
+
+
+def _to_chunks8(a):
+    """[..., 16] 16-bit limbs -> [..., 32] 8-bit chunks (little-endian)."""
+    lo = a & 0xFF
+    hi = (a >> 8) & 0xFF
+    return jnp.stack([lo, hi], axis=-1).reshape(*a.shape[:-1], _NCHUNK)
+
+
+def _product_columns(a, b):
+    """All 32 16-bit product columns of a*b, straight-line.
+
+    One batched outer product of the 8-bit chunk vectors (entries < 2^16),
+    then anti-diagonal column sums assembled from per-row shifts. Column
+    values stay < 32 * 2^16 = 2^21 (uint32-exact). Returns [..., 32] uint32
+    columns in base 2^16, each < 2^30.
+    """
+    a8 = _to_chunks8(a)
+    b8 = _to_chunks8(b)
+    P = a8[..., None, :] * b8[..., :, None]  # [..., j(b), i(a)], < 2^16
+    # c8[k] = sum_{i+j=k} P[j, i]: shift row j right by j, sum rows.
+    rows = [
+        jnp.pad(P[..., j, :], [(0, 0)] * (P.ndim - 2) + [(j, _NCHUNK - 1 - j)])
+        for j in range(_NCHUNK)
+    ]
+    c8 = sum(rows[1:], start=rows[0])  # [..., 63], < 2^21
+    c8 = jnp.concatenate([c8, jnp.zeros((*c8.shape[:-1], 1), _U32)], axis=-1)
+    ev = c8[..., 0::2]
+    od = c8[..., 1::2]
+    return ev + (od << 8)  # [..., 32], < 2^21 + 2^29 < 2^30
+
+
+# ---------------------------------------------------------------------------
+# core ops
+# ---------------------------------------------------------------------------
+
+def make_ops(spec: FieldSpec):
+    """Build the op suite for one field. Returned functions are trace-pure."""
+
+    p_np = spec.p_limbs
+    pp = jnp.uint32(spec.p_prime)
+
+    def add(a, b):
+        s, _ = _carry_propagate(a + b)  # columns < 2^17; sum < 2p < 2^255
+        return _cond_sub_p(s, spec)
+
+    def sub(a, b):
+        s, _ = _carry_propagate(a + jnp.asarray(p_np, _U32))
+        d, _ = _sub_limbs(s, b)
+        return _cond_sub_p(d, spec)
+
+    def neg(a):
+        p = jnp.asarray(p_np, _U32)
+        d, _ = _sub_limbs(jnp.broadcast_to(p, a.shape), a)
+        zero = is_zero(a)[..., None]
+        return jnp.where(zero, jnp.zeros_like(a), d)
+
+    def is_zero(a):
+        return jnp.all(a == 0, axis=-1)
+
+    def eq(a, b):
+        return jnp.all(a == b, axis=-1)
+
+    def mul(a, b):
+        """Montgomery product a*b*R^-1 mod p (canonical 16-bit limbs out).
+
+        Straight-line product-scanning REDC over a Python list of column
+        registers — no dynamic slicing, no loops, one fused VPU block.
+        """
+        d = _product_columns(a, b)  # [..., 32], < 2^30
+        batch = d.shape[:-1]
+        p = jnp.asarray(p_np, _U32)
+        carry = jnp.zeros(batch, _U32)
+        pad_cfg = [(0, 0)] * len(batch)
+        for k in range(NUM_LIMBS):
+            v = d[..., k] + carry
+            m = (v * pp) & LIMB_MASK
+            mp = m[..., None] * p          # [..., 16], products < 2^32
+            lo = mp & LIMB_MASK
+            hi = mp >> LIMB_BITS
+            carry = (v + lo[..., 0]) >> LIMB_BITS
+            # contributions to absolute positions k+1 .. k+16
+            contrib = jnp.concatenate(
+                [lo[..., 1:], jnp.zeros((*batch, 1), _U32)], axis=-1
+            ) + hi
+            d = d + jnp.pad(contrib, pad_cfg + [(k + 1, NUM_LIMBS - 1 - k)])
+        r = d[..., NUM_LIMBS:]
+        r = r.at[..., 0].add(carry)
+        r, _ = _carry_propagate(r)  # value < 2p < 2^255 -> no overflow carry
+        return _cond_sub_p(r, spec)
+
+    def sqr(a):
+        return mul(a, a)
+
+    def mul_small(a, k: int):
+        """Multiply by a small non-negative Python int via shift-and-add."""
+        assert 0 <= k
+        acc = zeros(a.shape[:-1])
+        base = a
+        while k:
+            if k & 1:
+                acc = add(acc, base)
+            k >>= 1
+            if k:
+                base = add(base, base)
+        return acc
+
+    def zeros(batch_shape=()):
+        return jnp.zeros((*batch_shape, NUM_LIMBS), _U32)
+
+    def ones_mont(batch_shape=()):
+        one = jnp.asarray(spec.r1_limbs, _U32)
+        return jnp.broadcast_to(one, (*batch_shape, NUM_LIMBS))
+
+    def to_mont(a):
+        return mul(a, jnp.asarray(spec.r2_limbs, _U32))
+
+    def from_mont(a):
+        one = jnp.zeros((NUM_LIMBS,), _U32).at[0].set(1)
+        return mul(a, one)
+
+    def inv(a):
+        """Fermat inverse of Montgomery-form input (0 -> 0). Batched."""
+        bits = jnp.asarray(spec.inv_exp_bits)  # LSB-first
+        nbits = int(spec.inv_exp_bits.shape[0])
+
+        def body(i, acc):
+            bit = bits[nbits - 1 - i]
+            acc = sqr(acc)
+            return jnp.where(bit == 1, mul(acc, a), acc)
+
+        acc0 = ones_mont(a.shape[:-1])
+        out = jax.lax.fori_loop(0, nbits, body, acc0)
+        return jnp.where(is_zero(a)[..., None], jnp.zeros_like(a), out)
+
+    def batch_inverse(a):
+        """Inverse along axis 0 via Montgomery's trick (zeros -> zeros)."""
+        from spartan_tpu.ops.scan import inclusive_scan
+
+        zero_mask = is_zero(a)
+        safe = jnp.where(zero_mask[..., None], ones_mont(a.shape[:-1]), a)
+        unit = jnp.asarray(spec.r1_limbs, _U32)
+        pre = inclusive_scan(mul, safe, unit)
+        suf = inclusive_scan(mul, safe, unit, reverse=True)
+        total_inv = inv(pre[-1])
+        n = a.shape[0]
+        left = jnp.concatenate([ones_mont((1, *a.shape[1:-1])), pre[: n - 1]], axis=0)
+        right = jnp.concatenate([suf[1:], ones_mont((1, *a.shape[1:-1]))], axis=0)
+        out = mul(mul(left, right), total_inv)
+        return jnp.where(zero_mask[..., None], jnp.zeros_like(a), out)
+
+    def _normalize_columns(s):
+        """Columns < 2^32 (16 of them) -> canonical residue < p."""
+        r1 = jnp.asarray(spec.r1_limbs, _U32)
+
+        def fold_once(limbs, extra):
+            fold = extra[..., None] * r1  # products < 2^32
+            lo = fold & LIMB_MASK
+            hi = fold >> LIMB_BITS
+            acc = limbs + lo
+            acc = acc.at[..., 1:].add(hi[..., :-1])
+            top = hi[..., -1]
+            out, carry = _carry_propagate(acc)
+            return out, carry + top
+
+        limbs, carry = _carry_propagate(s)
+        limbs, carry = fold_once(limbs, carry)
+        limbs, carry = fold_once(limbs, carry)
+        limbs, _ = fold_once(limbs, carry)  # carry provably 0 after this
+        out = _cond_sub_p(limbs, spec)
+        return _cond_sub_p(out, spec)
+
+    def reduce_sum(a, axis=0):
+        """Field sum along one axis (Montgomery-domain linear)."""
+        a = jnp.moveaxis(a, axis, 0)
+        n = a.shape[0]
+        CHUNK = 1 << 14
+        while n > 1:
+            if n > CHUNK:
+                pad = (-n) % CHUNK
+                if pad:
+                    a = jnp.concatenate([a, jnp.zeros((pad, *a.shape[1:]), _U32)], axis=0)
+                a = a.reshape(-1, CHUNK, *a.shape[1:])
+                s = jnp.sum(a, axis=1, dtype=_U32)  # columns < 2^30
+            else:
+                s = jnp.sum(a, axis=0, keepdims=True, dtype=_U32)
+            a = _normalize_columns(s)
+            n = a.shape[0]
+        return a[0]
+
+    class Ops:
+        pass
+
+    ops = Ops()
+    ops.spec = spec
+    ops.normalize_columns = _normalize_columns
+    ops.add = add
+    ops.sub = sub
+    ops.neg = neg
+    ops.mul = mul
+    ops.sqr = sqr
+    ops.mul_small = mul_small
+    ops.inv = inv
+    ops.batch_inverse = batch_inverse
+    ops.reduce_sum = reduce_sum
+    ops.is_zero = is_zero
+    ops.eq = eq
+    ops.zeros = zeros
+    ops.one = ones_mont
+    ops.to_mont = to_mont
+    ops.from_mont = from_mont
+    return ops
+
+
+fr = make_ops(FR)
+fq = make_ops(FQ)
+
+
+# ---------------------------------------------------------------------------
+# host <-> device conversion (Montgomery domain on device)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=1)
+def _to_mont_jit(a, field_name):
+    ops = fr if field_name == "Fr" else fq
+    return ops.to_mont(a)
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def _from_mont_jit(a, field_name):
+    ops = fr if field_name == "Fr" else fq
+    return ops.from_mont(a)
+
+
+def encode_fr(values, spec: FieldSpec = FR) -> jnp.ndarray:
+    """Python ints (canonical) -> device limbs in Montgomery form."""
+    vals = [v % spec.modulus for v in values]
+    canon = jnp.asarray(ints_to_limbs(vals), dtype=_U32)
+    return _to_mont_jit(canon, spec.name)
+
+
+def decode_fr(arr, spec: FieldSpec = FR) -> list[int]:
+    """Device limbs in Montgomery form -> Python ints (canonical)."""
+    canon = _from_mont_jit(jnp.asarray(arr), spec.name)
+    host = np.asarray(jax.device_get(canon))
+    if host.ndim == 1:
+        host = host[None]
+    return limbs_to_ints(host)
+
+
+def encode_fq(values) -> jnp.ndarray:
+    return encode_fr(values, FQ)
+
+
+def decode_fq(arr) -> list[int]:
+    return decode_fr(arr, FQ)
