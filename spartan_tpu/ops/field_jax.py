@@ -75,29 +75,34 @@ FQ = FieldSpec(fh.FQ_MOD, "Fq")
 def _carry_propagate(d):
     """Columns (< 2^32 each) -> canonical 16-bit limbs, plus overflow carry.
 
-    Unrolled ripple (straight-line code — XLA compiles big basic blocks far
-    faster than nested while loops, and fuses them into one VPU pass).
+    Rolled ripple via ``lax.scan`` over the limb axis: the chain is traced
+    ONCE regardless of limb count, keeping every downstream trace (curve
+    formulas inline dozens of adds) small enough to compile fast. Each step
+    is a wide VPU op over the batch, so runtime is unaffected.
     """
-    K = d.shape[-1]
-    outs = []
-    carry = jnp.zeros(d.shape[:-1], _U32)
-    for j in range(K):
-        t = d[..., j] + carry
-        outs.append(t & LIMB_MASK)
-        carry = t >> LIMB_BITS
-    return jnp.stack(outs, axis=-1), carry
+    cols = jnp.moveaxis(d, -1, 0)  # [K, ...]
+
+    def step(carry, col):
+        t = col + carry
+        return t >> LIMB_BITS, t & LIMB_MASK
+
+    carry, outs = jax.lax.scan(step, jnp.zeros(cols.shape[1:], _U32), cols)
+    return jnp.moveaxis(outs, 0, -1), carry
 
 
 def _sub_limbs(a, b):
     """a - b over 16-bit limb vectors; returns (diff, borrow), borrow in {0,1}."""
-    K = a.shape[-1]
-    outs = []
-    borrow = jnp.zeros(jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]), _U32)
-    for j in range(K):
-        t = a[..., j] + jnp.uint32(1 << LIMB_BITS) - b[..., j] - borrow
-        outs.append(t & LIMB_MASK)
-        borrow = jnp.uint32(1) - (t >> LIMB_BITS)
-    return jnp.stack(outs, axis=-1), borrow
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    av = jnp.moveaxis(jnp.broadcast_to(a, shape), -1, 0)
+    bv = jnp.moveaxis(jnp.broadcast_to(b, shape), -1, 0)
+
+    def step(borrow, ab):
+        x, y = ab
+        t = x + jnp.uint32(1 << LIMB_BITS) - y - borrow
+        return jnp.uint32(1) - (t >> LIMB_BITS), t & LIMB_MASK
+
+    borrow, outs = jax.lax.scan(step, jnp.zeros(shape[:-1], _U32), (av, bv))
+    return jnp.moveaxis(outs, 0, -1), borrow
 
 
 def _cond_sub_p(r, spec: FieldSpec):
@@ -125,14 +130,27 @@ def _product_columns(a, b):
     """
     a8 = _to_chunks8(a)
     b8 = _to_chunks8(b)
-    P = a8[..., None, :] * b8[..., :, None]  # [..., j(b), i(a)], < 2^16
-    # c8[k] = sum_{i+j=k} P[j, i]: shift row j right by j, sum rows.
-    rows = [
-        jnp.pad(P[..., j, :], [(0, 0)] * (P.ndim - 2) + [(j, _NCHUNK - 1 - j)])
-        for j in range(_NCHUNK)
-    ]
-    c8 = sum(rows[1:], start=rows[0])  # [..., 63], < 2^21
-    c8 = jnp.concatenate([c8, jnp.zeros((*c8.shape[:-1], 1), _U32)], axis=-1)
+    shape = jnp.broadcast_shapes(a8.shape, b8.shape)
+    a8 = jnp.broadcast_to(a8, shape)
+    b8 = jnp.broadcast_to(b8, shape)
+    # c8[k] = sum_{i+j=k} a8[i] * b8[j]. Rolled as a scan over j (high to
+    # low): S <- shift_right(S) + a8 * b8[j]. One traced body instead of 32
+    # unrolled pads, and the partial-product row is formed inside the step so
+    # no [.., 32, 32] outer product is ever materialized (transient memory is
+    # O(columns) per element, which matters when this inlines into batched
+    # point scans).
+    bcols = jnp.moveaxis(b8, -1, 0)[::-1]  # [j from high to low, ...]
+    zcol = jnp.zeros((*shape[:-1], 1), _U32)
+    ztail = jnp.zeros((*shape[:-1], _NCOL8 - 1 - _NCHUNK), _U32)
+    acc0 = jnp.zeros((*shape[:-1], _NCOL8 - 1), _U32)  # 63 columns
+
+    def step(S, bj):
+        row = a8 * bj[..., None]  # [..., 32], entries < 2^16
+        shifted = jnp.concatenate([zcol, S[..., :-1]], axis=-1)
+        return shifted + jnp.concatenate([row, ztail], axis=-1), None
+
+    c8, _ = jax.lax.scan(step, acc0, bcols)  # [..., 63], < 2^21
+    c8 = jnp.concatenate([c8, zcol], axis=-1)
     ev = c8[..., 0::2]
     od = c8[..., 1::2]
     return ev + (od << 8)  # [..., 32], < 2^21 + 2^29 < 2^30
@@ -172,27 +190,34 @@ def make_ops(spec: FieldSpec):
     def mul(a, b):
         """Montgomery product a*b*R^-1 mod p (canonical 16-bit limbs out).
 
-        Straight-line product-scanning REDC over a Python list of column
-        registers — no dynamic slicing, no loops, one fused VPU block.
+        Product-scanning REDC rolled into a ``fori_loop`` over a sliding
+        32-column window (index 0 = current position k; the window shifts
+        left each round, so shapes stay static and the body is traced once).
         """
         d = _product_columns(a, b)  # [..., 32], < 2^30
         batch = d.shape[:-1]
         p = jnp.asarray(p_np, _U32)
-        carry = jnp.zeros(batch, _U32)
-        pad_cfg = [(0, 0)] * len(batch)
-        for k in range(NUM_LIMBS):
-            v = d[..., k] + carry
+        ztail = jnp.zeros((*batch, NUM_LIMBS), _U32)
+        zcol = jnp.zeros((*batch, 1), _U32)
+
+        def body(_, state):
+            e, carry = state
+            v = e[..., 0] + carry
             m = (v * pp) & LIMB_MASK
             mp = m[..., None] * p          # [..., 16], products < 2^32
             lo = mp & LIMB_MASK
             hi = mp >> LIMB_BITS
-            carry = (v + lo[..., 0]) >> LIMB_BITS
-            # contributions to absolute positions k+1 .. k+16
-            contrib = jnp.concatenate(
-                [lo[..., 1:], jnp.zeros((*batch, 1), _U32)], axis=-1
-            ) + hi
-            d = d + jnp.pad(contrib, pad_cfg + [(k + 1, NUM_LIMBS - 1 - k)])
-        r = d[..., NUM_LIMBS:]
+            # lo lands on window positions 0..15, hi on 1..16
+            f = e + jnp.concatenate([lo, ztail], axis=-1) \
+                  + jnp.concatenate([zcol, hi, ztail[..., 1:]], axis=-1)
+            new_carry = (v + lo[..., 0]) >> LIMB_BITS
+            e_next = jnp.concatenate([f[..., 1:], zcol], axis=-1)
+            return (e_next, new_carry)
+
+        e, carry = jax.lax.fori_loop(
+            0, NUM_LIMBS, body, (d, jnp.zeros(batch, _U32))
+        )
+        r = e[..., :NUM_LIMBS]
         r = r.at[..., 0].add(carry)
         r, _ = _carry_propagate(r)  # value < 2p < 2^255 -> no overflow carry
         return _cond_sub_p(r, spec)

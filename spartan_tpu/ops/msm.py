@@ -200,8 +200,8 @@ def msm(points, scalars, c: int | None = None):
     # [W*B, N]: window-major so same-window rows stay adjacent
     dig = jnp.moveaxis(digits.reshape(B, n, W), -1, 0).reshape(W * B, n)
 
-    rows_per_call = max(1, _CHUNK_BUDGET // n)
     total_rows = W * B
+    rows_per_call = min(max(1, _CHUNK_BUDGET // n), total_rows)
     parts = []
     start = 0
     # pad row count so every device call shares one shape/compilation

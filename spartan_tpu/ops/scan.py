@@ -87,8 +87,13 @@ def inclusive_scan(combine, xs, unit, reverse: bool = False):
         lambda r, u: jnp.concatenate([jnp.broadcast_to(u, (1, *u.shape)), r[:-1]], axis=0),
         rec, unit_b,
     )
-    fixed = combine(prefix, intra)               # broadcast over CHUNK axis? no:
-    # prefix is [nchunks, ...], intra is [CHUNK, nchunks, ...]; combine broadcasts
+    # prefix is [nchunks, ...], intra is [CHUNK, nchunks, ...]; broadcast the
+    # prefix across the CHUNK axis explicitly (combiners may use jnp.stack,
+    # which requires exact shape agreement).
+    prefix_b = jax.tree_util.tree_map(
+        lambda p, i: jnp.broadcast_to(p[None], i.shape), prefix, intra
+    )
+    fixed = combine(prefix_b, intra)
     out = jax.tree_util.tree_map(
         lambda a: a.swapaxes(0, 1).reshape(total, *a.shape[2:]), fixed
     )
