@@ -28,7 +28,7 @@ fr = F.fr
 
 def _msm_with_extras(G_affine, scalars_mont, extra_points: list, extra_scalars: list[int]):
     """<scalars, G> + sum extra_scalar_i * extra_point_i -> host GroupElem."""
-    ex = CJ.encode_points([p.p for p in extra_points])
+    ex = CJ.encode_points_affine([p.p for p in extra_points])
     pts = tuple(jnp.concatenate([g, e], axis=0) for g, e in zip(G_affine, ex))
     sc_canon = fr.from_mont(scalars_mont)
     extra = jnp.asarray(ints_to_limbs([s % FR_MOD for s in extra_scalars]))
@@ -158,7 +158,7 @@ class BulletReductionProof:
 
         u_sq = [u * u % FR_MOD for u in u_vec]
         u_sq_inv = [fr_inv(x) for x in u_sq]
-        LR = CJ.encode_points([g.p for g in self.L_vec] + [g.p for g in self.R_vec])
+        LR = CJ.encode_points_affine([g.p for g in self.L_vec] + [g.p for g in self.R_vec])
         sc = jnp.asarray(ints_to_limbs(u_sq + u_sq_inv))
         lr_pt = MSM.msm(LR, sc)
         lr = GroupElem(CJ.decode_points(tuple(a[None] for a in lr_pt))[0])

@@ -281,7 +281,8 @@ class DotProductProofLog:
         gens_1_scaled = gens.gens_1.scale(r)
 
         blind_Gamma = (blind_x + r * blind_y) % FR_MOD
-        Q = GroupElem(CJ.decode_points(CJ.from_affine(*tuple(a[None] for a in gens_1_scaled.G)))[0])
+        # gens_1_scaled.G arrays already carry the n=1 leading axis
+        Q = GroupElem(CJ.decode_points(CJ.from_affine(*gens_1_scaled.G))[0])
         H = GroupElem(CJ.decode_points(CJ.from_affine(*tuple(a[None] for a in gens.gens_n.h)))[0])
         (bullet_proof, _Gamma, x_hat, a_hat, g_hat, rhat_Gamma) = BulletReductionProof.prove(
             transcript, Q, gens.gens_n.G, H, x_mont, a_mont, blind_Gamma, blinds_vec
@@ -319,7 +320,7 @@ class DotProductProofLog:
 
         from spartan_tpu.ops import curve_jax as CJ
 
-        Q = GroupElem(CJ.decode_points(CJ.from_affine(*tuple(x[None] for x in gens_1_scaled.G)))[0])
+        Q = GroupElem(CJ.decode_points(CJ.from_affine(*gens_1_scaled.G))[0])
         h_scaled = GroupElem(_h_host(gens_1_scaled))
         lhs = Gamma_hat.mul(c).add(self.beta).mul(a_hat).add(self.delta)
         rhs = g_hat.add(Q.mul(a_hat)).mul(self.z1).add(h_scaled.mul(self.z2))

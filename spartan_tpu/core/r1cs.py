@@ -1,0 +1,109 @@
+"""R1CS constraint system shape.
+
+TPU-native counterpart of /root/reference/src/r1cs.rs:23-160 (the shape,
+satisfiability check, MLE evaluation and the phase-1/phase-2 table
+builders). SNARK-mode commitment (R1CSShape::commit, r1cs.rs:375-400) lives
+in spartan_tpu.core.sparse_mlpoly_full once the lookup argument lands.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import jax.numpy as jnp
+
+from spartan_tpu.core.mle import DensePolynomial, EqPolynomial
+from spartan_tpu.core.sparse_mlpoly import SparseMatEntry, SparseMatPolynomial
+from spartan_tpu.ops import field_jax as F
+from spartan_tpu.ops.fields_host import FR_MOD, fr_to_bytes
+from spartan_tpu.utils.math import is_power_of_two, log_2
+
+fr = F.fr
+
+
+class R1CSShape:
+    """num_cons x (2*num_vars) R1CS with power-of-two dims (r1cs.rs:23-82)."""
+
+    def __init__(self, num_cons: int, num_vars: int, num_inputs: int,
+                 A: list[tuple[int, int, int]], B: list[tuple[int, int, int]],
+                 C: list[tuple[int, int, int]]):
+        assert is_power_of_two(num_cons), "num_cons must be a power of 2"
+        assert is_power_of_two(num_vars), "num_vars must be a power of 2"
+        assert num_inputs < num_vars, "num_inputs must be less than num_vars"
+        self.num_cons = num_cons
+        self.num_vars = num_vars
+        self.num_inputs = num_inputs
+        nx = log_2(num_cons)
+        ny = log_2(2 * num_vars)
+        self.A = SparseMatPolynomial(nx, ny, [SparseMatEntry(*t) for t in A])
+        self.B = SparseMatPolynomial(nx, ny, [SparseMatEntry(*t) for t in B])
+        self.C = SparseMatPolynomial(nx, ny, [SparseMatEntry(*t) for t in C])
+
+    def get_num_vars(self) -> int:
+        return self.num_vars
+
+    def get_num_cons(self) -> int:
+        return self.num_cons
+
+    def get_num_inputs(self) -> int:
+        return self.num_inputs
+
+    def get_digest(self) -> bytes:
+        """Deterministic digest binding the shape (r1cs.rs:97-101 analog).
+
+        The reference digest is zlib(bincode(shape)); ours is sha256 over a
+        canonical byte serialization. Any collision-resistant deterministic
+        binding works — proofs are self-consistent, not byte-identical to
+        the Rust crate's (whose proofs embed OsRng blinds anyway).
+        """
+        h = hashlib.sha256()
+        h.update(b"spartan_tpu.R1CSShape")
+        for v in (self.num_cons, self.num_vars, self.num_inputs):
+            h.update(v.to_bytes(8, "little"))
+        for mat in (self.A, self.B, self.C):
+            h.update(len(mat.M).to_bytes(8, "little"))
+            for e in mat.M:
+                h.update(e.row.to_bytes(8, "little"))
+                h.update(e.col.to_bytes(8, "little"))
+                h.update(fr_to_bytes(e.val))
+        return h.digest()
+
+    def build_z(self, vars_: list[int], inputs: list[int]) -> list[int]:
+        """z = (vars, 1, inputs, 0-padding) to length 2*num_vars."""
+        assert len(vars_) == self.num_vars
+        z = list(vars_) + [1] + list(inputs)
+        z += [0] * (2 * self.num_vars - len(z))
+        return z
+
+    def is_sat(self, vars_: list[int], inputs: list[int]) -> bool:
+        assert len(vars_) == self.num_vars
+        assert len(inputs) == self.num_inputs
+        z = list(vars_) + [1] + list(inputs)
+        z_mont = F.encode_fr(z)
+        Az = self.A.multiply_vec_device(self.num_cons, z_mont)
+        Bz = self.B.multiply_vec_device(self.num_cons, z_mont)
+        Cz = self.C.multiply_vec_device(self.num_cons, z_mont)
+        diff = fr.sub(fr.mul(Az, Bz), Cz)
+        return bool(jnp.all(fr.is_zero(diff)))
+
+    def evaluate(self, rx: list[int], ry: list[int]) -> tuple[int, int, int]:
+        evals = SparseMatPolynomial.multi_evaluate([self.A, self.B, self.C], rx, ry)
+        return (evals[0], evals[1], evals[2])
+
+    def multiply_vec(self, num_rows: int, num_cols: int, z: list[int]):
+        assert num_rows == self.num_cons
+        assert len(z) == num_cols
+        z_mont = F.encode_fr(z)
+        return (
+            DensePolynomial(self.A.multiply_vec_device(num_rows, z_mont)),
+            DensePolynomial(self.B.multiply_vec_device(num_rows, z_mont)),
+            DensePolynomial(self.C.multiply_vec_device(num_rows, z_mont)),
+        )
+
+    def compute_eval_table_sparse_device(self, evals_mont, num_cols: int):
+        """(A^T e, B^T e, C^T e) as device arrays (r1cs.rs:148-160)."""
+        return (
+            self.A.compute_eval_table_sparse_device(evals_mont, num_cols),
+            self.B.compute_eval_table_sparse_device(evals_mont, num_cols),
+            self.C.compute_eval_table_sparse_device(evals_mont, num_cols),
+        )

@@ -54,7 +54,8 @@ def from_affine(x, y, inf_mask=None):
 
 
 def _stack6(*xs):
-    return jnp.stack(xs, axis=0)
+    shape = jnp.broadcast_shapes(*(x.shape for x in xs))
+    return jnp.stack([jnp.broadcast_to(x, shape) for x in xs], axis=0)
 
 
 def padd(p, q):
@@ -220,6 +221,25 @@ def encode_points(points) -> tuple:
     z = jnp.where(inf[..., None], fq.zeros((len(points),)), fq.one((len(points),)))
     x = jnp.where(inf[..., None], fq.zeros((len(points),)), x)
     return (x, y, z)
+
+
+def encode_points_affine(points) -> tuple:
+    """List of host affine points -> (x, y, inf_mask) device tuple.
+
+    The affine-with-mask form MSM/commitment kernels consume (projective
+    ``encode_points`` is for ladders that start from (X:Y:Z)).
+    """
+    xs, ys, infs = [], [], []
+    for pt in points:
+        if pt is None:
+            xs.append(0)
+            ys.append(1)
+            infs.append(True)
+        else:
+            xs.append(pt[0])
+            ys.append(pt[1])
+            infs.append(False)
+    return (F.encode_fq(xs), F.encode_fq(ys), jnp.asarray(infs, dtype=bool))
 
 
 def decode_points(p) -> list:
