@@ -68,6 +68,12 @@ def k_dot(a, b):
     return fr.reduce_sum(fr.mul(a, b), axis=0)
 
 
+@jax.jit
+def k_dot_batched(A, chis):
+    """[K,N,16] x [N,16] -> [K,16]: K MLE evaluations sharing one eq table."""
+    return fr.reduce_sum(fr.mul(A, chis[None]), axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("L_size", "R_size"))
 def k_bound_matrix(Z, L, L_size: int, R_size: int):
     """LZ[j] = sum_i L[i] * Z[i*R+j]  (hyrax.rs:311-324), out [R,16]."""
@@ -161,8 +167,18 @@ class DensePolynomial:
         return DensePolynomial(jnp.concatenate(Zs, axis=0))
 
     @staticmethod
-    def from_usize(vals: list[int]) -> "DensePolynomial":
-        return DensePolynomial.from_ints([int(v) for v in vals])
+    def from_usize(vals) -> "DensePolynomial":
+        """Small non-negative ints (numpy array or list) -> MLE, fast path."""
+        return DensePolynomial(F.encode_small_uints(vals))
+
+
+def batch_evaluate(polys: list["DensePolynomial"], r: list[int]) -> list[int]:
+    """Evaluate several equal-length MLEs at one point, sharing the eq table."""
+    if not polys:
+        return []
+    chis = EqPolynomial(r).evals_device()
+    A = jnp.stack([p.Z for p in polys], axis=0)
+    return F.decode_fr(k_dot_batched(A, chis))
 
 
 class EqPolynomial:

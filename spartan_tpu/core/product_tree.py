@@ -1,0 +1,231 @@
+"""Product-tree (GKR-style) circuits + layered batched sumcheck proofs.
+
+TPU-native counterpart of /root/reference/src/product_tree.rs. A product
+circuit keeps per-layer left/right evaluation tables as device arrays; each
+tree layer is one elementwise field multiply (layers shrink geometrically —
+SURVEY.md §2.2). The layered proof joins all circuits' claims per layer with
+random coefficients and runs ONE batched cubic sumcheck per layer
+(product_tree.rs:251-392); dot-product circuits join only at the leaf layer.
+
+Transcript labels and claim orders match the reference byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from spartan_tpu.core.mle import DensePolynomial, EqPolynomial
+from spartan_tpu.core.sumcheck import SumcheckInstanceProof
+from spartan_tpu.ops import field_jax as F
+from spartan_tpu.ops.fields_host import FR_MOD
+from spartan_tpu.utils.errors import ProofVerifyError
+from spartan_tpu.utils.math import log_2
+
+fr = F.fr
+
+
+@jax.jit
+def _k_mul(a, b):
+    return fr.mul(a, b)
+
+
+class ProductCircuit:
+    """Binary product tree by left/right layer tables (product_tree.rs:15-65)."""
+
+    def __init__(self, poly: DensePolynomial):
+        half = poly.len // 2
+        left = poly.Z[:half]
+        right = poly.Z[half: 2 * half]
+        self.left_vec = [DensePolynomial(left)]
+        self.right_vec = [DensePolynomial(right)]
+        num_layers = log_2(poly.len)
+        for i in range(num_layers - 1):
+            prod = _k_mul(self.left_vec[i].Z, self.right_vec[i].Z)
+            q = prod.shape[0] // 2
+            self.left_vec.append(DensePolynomial(prod[:q]))
+            self.right_vec.append(DensePolynomial(prod[q:]))
+
+    def evaluate(self) -> int:
+        assert self.left_vec[-1].len == 1 and self.right_vec[-1].len == 1
+        out = _k_mul(self.left_vec[-1].Z, self.right_vec[-1].Z)
+        return F.decode_fr(out)[0]
+
+
+class DotProductCircuit:
+    """Weighted dot product sum_i L_i R_i W_i (product_tree.rs:68-106)."""
+
+    def __init__(self, left: DensePolynomial, right: DensePolynomial, weight: DensePolynomial):
+        assert left.len == right.len == weight.len
+        self.left = left
+        self.right = right
+        self.weight = weight
+
+    def evaluate(self) -> int:
+        prod = _k_mul(_k_mul(self.left.Z, self.right.Z), self.weight.Z)
+        return F.decode_fr(fr.reduce_sum(prod, axis=0)[None])[0]
+
+    def split(self):
+        idx = self.left.len // 2
+        l1, l2 = self.left.split(idx)
+        r1, r2 = self.right.split(idx)
+        w1, w2 = self.weight.split(idx)
+        return DotProductCircuit(l1, r1, w1), DotProductCircuit(l2, r2, w2)
+
+
+@dataclass
+class LayerProofBatched:
+    proof: SumcheckInstanceProof
+    claims_prod_left: list[int]
+    claims_prod_right: list[int]
+
+    def verify(self, claim: int, num_rounds: int, degree_bound: int, transcript):
+        return self.proof.verify(claim, num_rounds, degree_bound, transcript)
+
+
+@dataclass
+class ProductCircuitEvalProofBatched:
+    proof: list[LayerProofBatched]
+    claims_dotp: tuple  # (left, right, weight) final dotp claims
+
+    @staticmethod
+    def prove(prod_circuit_vec: list[ProductCircuit],
+              dotp_circuit_vec: list[DotProductCircuit], transcript):
+        """Returns (proof, rand) (product_tree.rs:251-392)."""
+        assert prod_circuit_vec
+        claims_dotp_final = ([], [], [])
+        proof_layers: list[LayerProofBatched] = []
+        num_layers = len(prod_circuit_vec[0].left_vec)
+        claims_to_verify = [c.evaluate() for c in prod_circuit_vec]
+        rand: list[int] = []
+
+        for layer_id in range(num_layers - 1, -1, -1):
+            poly_C_par = DensePolynomial(EqPolynomial(rand).evals_device())
+            assert poly_C_par.len == prod_circuit_vec[0].left_vec[layer_id].len
+            num_rounds_prod = log_2(poly_C_par.len) if poly_C_par.len > 1 else 0
+
+            poly_A_par = [c.left_vec[layer_id] for c in prod_circuit_vec]
+            poly_B_par = [c.right_vec[layer_id] for c in prod_circuit_vec]
+
+            poly_A_seq: list[DensePolynomial] = []
+            poly_B_seq: list[DensePolynomial] = []
+            poly_C_seq: list[DensePolynomial] = []
+            if layer_id == 0 and dotp_circuit_vec:
+                for item in dotp_circuit_vec:
+                    claims_to_verify.append(item.evaluate())
+                    assert item.left.len == poly_C_par.len
+                for d in dotp_circuit_vec:
+                    poly_A_seq.append(d.left)
+                    poly_B_seq.append(d.right)
+                    poly_C_seq.append(d.weight)
+
+            coeff_vec = transcript.challenge_vector(
+                b"rand_coeffs_next_layer", len(claims_to_verify))
+            claim = sum(c * w for c, w in zip(claims_to_verify, coeff_vec)) % FR_MOD
+
+            proof, rand_prod, claims_prod, claims_dotp = \
+                SumcheckInstanceProof.prove_cubic_batched(
+                    claim, num_rounds_prod,
+                    (poly_A_par, poly_B_par, poly_C_par),
+                    (poly_A_seq, poly_B_seq, poly_C_seq),
+                    coeff_vec, transcript,
+                )
+            claims_prod_left, claims_prod_right, _claims_eq = claims_prod
+
+            for i in range(len(prod_circuit_vec)):
+                transcript.append_scalar(b"claim_prod_left", claims_prod_left[i])
+                transcript.append_scalar(b"claim_prod_right", claims_prod_right[i])
+
+            if layer_id == 0 and dotp_circuit_vec:
+                dl, dr, dw = claims_dotp
+                for i in range(len(dotp_circuit_vec)):
+                    transcript.append_scalar(b"claim_dotp_left", dl[i])
+                    transcript.append_scalar(b"claim_dotp_right", dr[i])
+                    transcript.append_scalar(b"claim_dotp_weight", dw[i])
+                claims_dotp_final = (dl, dr, dw)
+
+            r_layer = transcript.challenge_scalar(b"challenge_r_layer")
+            claims_to_verify = [
+                (claims_prod_left[i] + r_layer * (claims_prod_right[i] - claims_prod_left[i])) % FR_MOD
+                for i in range(len(prod_circuit_vec))
+            ]
+            rand = [r_layer] + rand_prod
+            proof_layers.append(LayerProofBatched(proof, claims_prod_left, claims_prod_right))
+
+        return ProductCircuitEvalProofBatched(proof_layers, claims_dotp_final), rand
+
+    def verify(self, claims_prod_vec: list[int], claims_dotp_vec: list[int],
+               length: int, transcript):
+        """Returns (claims, claims_dotp, rand) (product_tree.rs:394-537)."""
+        num_layers = log_2(length)
+        rand: list[int] = []
+        if len(self.proof) != num_layers:
+            raise ProofVerifyError("product tree: wrong number of layers")
+
+        claims_to_verify = list(claims_prod_vec)
+        claims_to_verify_dotp: list[int] = []
+
+        for i in range(num_layers):
+            num_rounds = i
+            if i == num_layers - 1:
+                claims_to_verify = claims_to_verify + list(claims_dotp_vec)
+
+            coeff_vec = transcript.challenge_vector(
+                b"rand_coeffs_next_layer", len(claims_to_verify))
+            claim = sum(c * w for c, w in zip(claims_to_verify, coeff_vec)) % FR_MOD
+
+            claim_last, rand_prod = self.proof[i].verify(claim, num_rounds, 3, transcript)
+
+            claims_prod_left = self.proof[i].claims_prod_left
+            claims_prod_right = self.proof[i].claims_prod_right
+            if len(claims_prod_left) != len(claims_prod_vec) or \
+               len(claims_prod_right) != len(claims_prod_vec):
+                raise ProofVerifyError("product tree: claim count mismatch")
+
+            for j in range(len(claims_prod_vec)):
+                transcript.append_scalar(b"claim_prod_left", claims_prod_left[j])
+                transcript.append_scalar(b"claim_prod_right", claims_prod_right[j])
+
+            assert len(rand) == len(rand_prod)
+            eq = 1
+            for a, b in zip(rand, rand_prod):
+                eq = eq * ((a * b + (1 - a) * (1 - b)) % FR_MOD) % FR_MOD
+            claim_expected = sum(
+                coeff_vec[j] * claims_prod_left[j] % FR_MOD * claims_prod_right[j] % FR_MOD * eq
+                for j in range(len(claims_prod_vec))
+            ) % FR_MOD
+
+            if i == num_layers - 1:
+                num_prod = len(claims_prod_vec)
+                dl, dr, dw = self.claims_dotp
+                for k in range(len(dl)):
+                    transcript.append_scalar(b"claim_dotp_left", dl[k])
+                    transcript.append_scalar(b"claim_dotp_right", dr[k])
+                    transcript.append_scalar(b"claim_dotp_weight", dw[k])
+                    claim_expected = (
+                        claim_expected + coeff_vec[k + num_prod] * dl[k] * dr[k] * dw[k]
+                    ) % FR_MOD
+
+            if claim_expected != claim_last % FR_MOD:
+                raise ProofVerifyError(f"product tree: claim mismatch at layer {i}")
+
+            r_layer = transcript.challenge_scalar(b"challenge_r_layer")
+            claims_to_verify = [
+                (claims_prod_left[j] + r_layer * (claims_prod_right[j] - claims_prod_left[j])) % FR_MOD
+                for j in range(len(claims_prod_left))
+            ]
+            if i == num_layers - 1:
+                dl, dr, dw = self.claims_dotp
+                for k in range(len(claims_dotp_vec) // 2):
+                    claims_to_verify_dotp.append(
+                        (dl[2 * k] + r_layer * (dl[2 * k + 1] - dl[2 * k])) % FR_MOD)
+                    claims_to_verify_dotp.append(
+                        (dr[2 * k] + r_layer * (dr[2 * k + 1] - dr[2 * k])) % FR_MOD)
+                    claims_to_verify_dotp.append(
+                        (dw[2 * k] + r_layer * (dw[2 * k + 1] - dw[2 * k])) % FR_MOD)
+
+            rand = [r_layer] + rand_prod
+
+        return claims_to_verify, claims_to_verify_dotp, rand

@@ -107,3 +107,76 @@ class R1CSShape:
             self.B.compute_eval_table_sparse_device(evals_mont, num_cols),
             self.C.compute_eval_table_sparse_device(evals_mont, num_cols),
         )
+
+    def commit(self, gens: "R1CSCommitmentGens"):
+        """SNARK-mode preprocessing commitment (r1cs.rs:375-400)."""
+        from spartan_tpu.core import sparse_mlpoly_full as full
+
+        comm, dense = full.multi_commit([self.A, self.B, self.C], gens.gens)
+        return (
+            R1CSCommitment(self.num_cons, self.num_vars, self.num_inputs, comm),
+            R1CSDecommitment(dense),
+        )
+
+
+class R1CSCommitmentGens:
+    """Generators for the SNARK-mode matrix commitment (r1cs.rs:263-343).
+
+    ``pcs`` selects the derefs commitment scheme at runtime ('hyrax'/'kzg').
+    """
+
+    def __init__(self, label: bytes, num_cons: int, num_vars: int,
+                 num_nz_entries: int, pcs: str = "hyrax", kzg_srs=None):
+        from spartan_tpu.core.sparse_mlpoly_full import SparseMatPolyCommitmentGens
+        from spartan_tpu.utils.math import next_power_of_two
+
+        nx = log_2(num_cons)
+        ny = log_2(2 * num_vars)
+        self.gens = SparseMatPolyCommitmentGens(
+            label, nx, ny, next_power_of_two(num_nz_entries), 3,
+            pcs=pcs, kzg_srs=kzg_srs)
+
+
+class R1CSCommitment:
+    """Commitment to (A, B, C) (r1cs.rs:345-363)."""
+
+    def __init__(self, num_cons: int, num_vars: int, num_inputs: int, comm):
+        self.num_cons = num_cons
+        self.num_vars = num_vars
+        self.num_inputs = num_inputs
+        self.comm = comm
+
+    def append_to_transcript(self, _label: bytes, transcript) -> None:
+        transcript.append_u64(b"num_cons", self.num_cons)
+        transcript.append_u64(b"num_vars", self.num_vars)
+        transcript.append_u64(b"num_inputs", self.num_inputs)
+        self.comm.append_to_transcript(b"comm", transcript)
+
+
+class R1CSDecommitment:
+    """Prover-side dense representation (r1cs.rs:365-370)."""
+
+    def __init__(self, dense):
+        self.dense = dense
+
+
+class R1CSEvalProof:
+    """Wraps SparseMatPolyEvalProof (r1cs.rs:416-491)."""
+
+    def __init__(self, proof):
+        self.proof = proof
+
+    @staticmethod
+    def prove(decomm: R1CSDecommitment, rx: list[int], ry: list[int],
+              evals: tuple[int, int, int], gens: R1CSCommitmentGens,
+              transcript, random_tape) -> "R1CSEvalProof":
+        from spartan_tpu.core.sparse_mlpoly_full import SparseMatPolyEvalProof
+
+        proof = SparseMatPolyEvalProof.prove(
+            decomm.dense, rx, ry, list(evals), gens.gens, transcript, random_tape)
+        return R1CSEvalProof(proof)
+
+    def verify(self, comm: R1CSCommitment, rx: list[int], ry: list[int],
+               evals: tuple[int, int, int], gens: R1CSCommitmentGens,
+               transcript) -> None:
+        self.proof.verify(comm.comm, rx, ry, list(evals), gens.gens, transcript)

@@ -1,0 +1,778 @@
+"""The sparse-matrix evaluation proof (lookup argument) — SNARK mode.
+
+TPU-native counterpart of /root/reference/src/sparse_mlpoly_full.rs, the
+reference's largest and hottest component (80%+ of prove time,
+SURVEY.md §2 row 15). Proves that committed sparse matrices A, B, C
+evaluate to claimed values at (rx, ry) via offline memory checking:
+
+- ``AddrTimestamps``: read/write timestamp counters — the reference's
+  sequential per-op loop (sparse_mlpoly_full.rs:211-243) becomes a
+  vectorized numpy rank-within-group computation at preprocessing time;
+- ``Derefs``: gathers mem[addr] on device; its commitment is the flagship
+  MSM (166 s / 79.6% of reference prove time);
+- Reed-Solomon-style hash layer h(a,v,t) = t*r^2 + v*r + a - gamma as one
+  fused device kernel;
+- grand products of the multisets via batched product-tree proofs;
+- hash-layer openings batched n-to-1 into three Hyrax opening proofs.
+
+The derefs PCS is runtime-polymorphic (Hyrax default; KZG via
+spartan_tpu.pcs.kzg) replacing the reference's compile-time feature flag.
+Transcript labels and orders match the reference byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spartan_tpu.core.mle import DensePolynomial, EqPolynomial, IdentityPolynomial, batch_evaluate
+from spartan_tpu.core.product_tree import (
+    DotProductCircuit,
+    ProductCircuit,
+    ProductCircuitEvalProofBatched,
+)
+from spartan_tpu.ops import field_jax as F
+from spartan_tpu.ops.fields_host import FR_MOD
+from spartan_tpu.pcs.hyrax import PolyCommitment, PolyCommitmentGens, PolyEvalProof, commit_poly
+from spartan_tpu.utils.errors import ProofVerifyError
+from spartan_tpu.utils.math import log_2, next_power_of_two, pow2
+
+fr = F.fr
+
+
+# ---------------------------------------------------------------------------
+# device kernels
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def k_hash_layer(addr, val, ts, r_hash, r_hash_sqr, gamma):
+    """h(a,v,t) - gamma = t*r^2 + v*r + a - gamma, elementwise [N,16]."""
+    h = fr.add(fr.add(fr.mul(ts, r_hash_sqr), fr.mul(val, r_hash)), addr)
+    return fr.sub(h, gamma)
+
+
+@jax.jit
+def k_gather(mem, addr):
+    """mem[addr] gather: mem [C,16], addr [N] int32 -> [N,16]."""
+    return mem[addr]
+
+
+# ---------------------------------------------------------------------------
+# address timestamps (offline memory checking preprocessing)
+# ---------------------------------------------------------------------------
+
+class AddrTimestamps:
+    """Read/write timestamps for a batch of address streams.
+
+    Semantics match sparse_mlpoly_full.rs:211-243 exactly, including the
+    audit counter carrying over BETWEEN instances. The per-op sequential
+    loop is reformulated as rank-within-equal-address-runs over a stable
+    sort — O(N log N) numpy at preprocessing, no loop-carried dependency.
+    """
+
+    def __init__(self, num_cells: int, num_ops: int, ops_addr: list[np.ndarray]):
+        self.num_cells = num_cells
+        self.num_ops = num_ops
+        self.ops_addr_usize = [np.asarray(a, dtype=np.int64) for a in ops_addr]
+        for a in self.ops_addr_usize:
+            assert a.shape == (num_ops,)
+            assert a.max(initial=0) < num_cells
+
+        base = np.zeros(num_cells, dtype=np.int64)
+        read_ts_list = []
+        for addr in self.ops_addr_usize:
+            order = np.argsort(addr, kind="stable")
+            sa = addr[order]
+            is_new = np.ones(num_ops, dtype=bool)
+            if num_ops > 1:
+                is_new[1:] = sa[1:] != sa[:-1]
+            run_starts = np.flatnonzero(is_new)
+            run_ids = np.cumsum(is_new) - 1
+            rank = np.arange(num_ops) - run_starts[run_ids]
+            read_sorted = base[sa] + rank
+            read_ts = np.empty(num_ops, dtype=np.int64)
+            read_ts[order] = read_sorted
+            read_ts_list.append(read_ts)
+            base += np.bincount(addr, minlength=num_cells)
+
+        self.read_ts_usize = read_ts_list
+        self.audit_ts_usize = base
+        self.ops_addr = [DensePolynomial.from_usize(a) for a in self.ops_addr_usize]
+        self.read_ts = [DensePolynomial.from_usize(t) for t in read_ts_list]
+        self.audit_ts = DensePolynomial.from_usize(base)
+        self._addr_dev = [jnp.asarray(a, dtype=jnp.int32) for a in self.ops_addr_usize]
+
+    def deref(self, mem_val_dev) -> list[DensePolynomial]:
+        """Gather mem[addr] per instance (sparse_mlpoly_full.rs:245-257)."""
+        return [DensePolynomial(k_gather(mem_val_dev, a)) for a in self._addr_dev]
+
+
+# ---------------------------------------------------------------------------
+# dense representation + commitment
+# ---------------------------------------------------------------------------
+
+class MultiSparseMatPolynomialAsDense:
+    """row/col AddrTimestamps + vals + the two combined commitment polys
+    (sparse_mlpoly_full.rs:264-280)."""
+
+    def __init__(self, batch_size, row, col, val, comb_ops, comb_mem):
+        self.batch_size = batch_size
+        self.row = row
+        self.col = col
+        self.val = val
+        self.comb_ops = comb_ops
+        self.comb_mem = comb_mem
+
+    def deref(self, row_mem_dev, col_mem_dev) -> "Derefs":
+        return Derefs(self.row.deref(row_mem_dev), self.col.deref(col_mem_dev))
+
+
+def multi_sparse_to_dense_rep(sparse_polys) -> MultiSparseMatPolynomialAsDense:
+    """sparse_mlpoly_full.rs:120-174. sparse_polys: core SparseMatPolynomial."""
+    assert sparse_polys
+    nx = sparse_polys[0].num_vars_x
+    ny = sparse_polys[0].num_vars_y
+    for p in sparse_polys[1:]:
+        assert p.num_vars_x == nx and p.num_vars_y == ny
+
+    N = max(p.get_num_nz_entries() for p in sparse_polys)
+    ops_row_vec, ops_col_vec, val_vec = [], [], []
+    for p in sparse_polys:
+        n = len(p.M)
+        rows = np.zeros(N, dtype=np.int64)
+        cols = np.zeros(N, dtype=np.int64)
+        vals = [0] * N
+        for i, e in enumerate(p.M):
+            rows[i] = e.row
+            cols[i] = e.col
+            vals[i] = e.val
+        ops_row_vec.append(rows)
+        ops_col_vec.append(cols)
+        val_vec.append(DensePolynomial.from_ints(vals))
+
+    num_mem_cells = pow2(max(nx, ny))
+    row = AddrTimestamps(num_mem_cells, N, ops_row_vec)
+    col = AddrTimestamps(num_mem_cells, N, ops_col_vec)
+
+    comb_ops = DensePolynomial.merge(
+        row.ops_addr + row.read_ts + col.ops_addr + col.read_ts + val_vec)
+    comb_mem = row.audit_ts.clone()
+    comb_mem.extend(col.audit_ts)
+
+    return MultiSparseMatPolynomialAsDense(
+        len(sparse_polys), row, col, val_vec, comb_ops, comb_mem)
+
+
+class SparseMatPolyCommitmentGens:
+    """Hyrax gens for the ops/mem/derefs polys (sparse_mlpoly_full.rs:602-631).
+
+    ``pcs``: 'hyrax' (default) or 'kzg' — selects the derefs commitment
+    scheme, replacing the reference's compile-time feature flag.
+    """
+
+    def __init__(self, label: bytes, num_vars_x: int, num_vars_y: int,
+                 num_nz_entries: int, batch_size: int, pcs: str = "hyrax",
+                 kzg_srs=None):
+        num_vars_ops = log_2(next_power_of_two(num_nz_entries)) + \
+            log_2(next_power_of_two(batch_size * 5))
+        num_vars_mem = max(num_vars_x, num_vars_y) + 1
+        num_vars_derefs = log_2(next_power_of_two(num_nz_entries)) + \
+            log_2(next_power_of_two(batch_size * 2))
+
+        self.pcs = pcs
+        self.gens_ops = PolyCommitmentGens(num_vars_ops, label)
+        self.gens_mem = PolyCommitmentGens(num_vars_mem, label)
+        if pcs == "hyrax":
+            self.gens_derefs = PolyCommitmentGens(num_vars_derefs, label)
+        else:
+            from spartan_tpu.pcs.kzg import KZGPolyCommitmentGens, KZGSrs
+
+            if kzg_srs is None:
+                kzg_srs = KZGSrs.setup_from_seed(pow2(num_vars_derefs) + 1, 0xDEADBEEF)
+            self.gens_derefs = KZGPolyCommitmentGens(kzg_srs)
+
+
+@dataclass
+class SparseMatPolyCommitment:
+    batch_size: int
+    num_ops: int
+    num_mem_cells: int
+    comm_comb_ops: PolyCommitment
+    comm_comb_mem: PolyCommitment
+
+    def append_to_transcript(self, _label: bytes, transcript) -> None:
+        transcript.append_u64(b"batch_size", self.batch_size)
+        transcript.append_u64(b"num_ops", self.num_ops)
+        transcript.append_u64(b"num_mem_cells", self.num_mem_cells)
+        self.comm_comb_ops.append_to_transcript(b"comm_comb_ops", transcript)
+        self.comm_comb_mem.append_to_transcript(b"comm_comb_mem", transcript)
+
+
+def multi_commit(sparse_polys, gens: SparseMatPolyCommitmentGens):
+    """(commitment, dense rep) — the SNARK::encode hot path
+    (sparse_mlpoly_full.rs:176-197)."""
+    dense = multi_sparse_to_dense_rep(sparse_polys)
+    comm_comb_ops, _ = commit_poly(dense.comb_ops, gens.gens_ops)
+    comm_comb_mem, _ = commit_poly(dense.comb_mem, gens.gens_mem)
+    return (
+        SparseMatPolyCommitment(
+            batch_size=len(sparse_polys),
+            num_mem_cells=dense.row.audit_ts.len,
+            num_ops=dense.row.read_ts[0].len,
+            comm_comb_ops=comm_comb_ops,
+            comm_comb_mem=comm_comb_mem,
+        ),
+        dense,
+    )
+
+
+# ---------------------------------------------------------------------------
+# derefs
+# ---------------------------------------------------------------------------
+
+class Derefs:
+    def __init__(self, row_ops_val: list[DensePolynomial], col_ops_val: list[DensePolynomial]):
+        assert len(row_ops_val) == len(col_ops_val)
+        self.row_ops_val = row_ops_val
+        self.col_ops_val = col_ops_val
+        self.comb = DensePolynomial.merge(row_ops_val + col_ops_val)
+
+    def commit(self, gens) -> "DerefsCommitment":
+        if isinstance(gens, PolyCommitmentGens):
+            comm, _ = commit_poly(self.comb, gens)
+            return DerefsCommitment(comm)
+        comm = gens.commit(self.comb)
+        return DerefsCommitment(comm)
+
+
+@dataclass
+class DerefsCommitment:
+    comm_ops_val: object  # PolyCommitment (Hyrax) or KZGPolyCommitment
+
+    def append_to_transcript(self, label: bytes, transcript) -> None:
+        transcript.append_message(b"derefs_commitment", b"begin_derefs_commitment")
+        self.comm_ops_val.append_to_transcript(label, transcript)
+        transcript.append_message(b"derefs_commitment", b"end_derefs_commitment")
+
+
+def _n_to_one_reduction(evals: list[int], transcript, label_challenge: bytes):
+    """Bind the per-instance claims to one joint claim via bot-variable folds
+    (sparse_mlpoly_full.rs:382-397). Returns (challenges, joint_claim)."""
+    challenges = transcript.challenge_vector(label_challenge, log_2(len(evals)))
+    poly_evals = DensePolynomial.from_ints(evals)
+    for c in reversed(challenges):
+        poly_evals.bound_poly_var_bot(c)
+    assert poly_evals.len == 1
+    return challenges, poly_evals.first()
+
+
+@dataclass
+class DerefsEvalProof:
+    """Joint opening of all deref MLEs at rand_ops
+    (Hyrax: sparse_mlpoly_full.rs:362-482)."""
+
+    proof_derefs: object  # PolyEvalProof or KZG proof object
+
+    PROTOCOL = b"Derefs evaluation proof"
+
+    @staticmethod
+    def prove(derefs: Derefs, eval_row_ops_val: list[int], eval_col_ops_val: list[int],
+              r: list[int], gens, transcript, random_tape) -> "DerefsEvalProof":
+        transcript.append_protocol_name(DerefsEvalProof.PROTOCOL)
+        evals = list(eval_row_ops_val) + list(eval_col_ops_val)
+        evals += [0] * (next_power_of_two(len(evals)) - len(evals))
+
+        transcript.append_scalars(b"evals_ops_val", evals)
+        challenges, joint_claim_eval = _n_to_one_reduction(
+            evals, transcript, b"challenge_combine_n_to_one")
+        r_joint = challenges + list(r)
+        transcript.append_scalar(b"joint_claim_eval", joint_claim_eval)
+
+        if isinstance(gens, PolyCommitmentGens):
+            proof, _ = PolyEvalProof.prove(
+                derefs.comb, None, r_joint, joint_claim_eval, None,
+                gens, transcript, random_tape)
+        else:
+            proof = gens.prove_eval(derefs.comb, r_joint, joint_claim_eval, transcript)
+        return DerefsEvalProof(proof)
+
+    def verify(self, r: list[int], eval_row_ops_val: list[int], eval_col_ops_val: list[int],
+               gens, comm: DerefsCommitment, transcript) -> None:
+        transcript.append_protocol_name(DerefsEvalProof.PROTOCOL)
+        evals = list(eval_row_ops_val) + list(eval_col_ops_val)
+        evals += [0] * (next_power_of_two(len(evals)) - len(evals))
+
+        transcript.append_scalars(b"evals_ops_val", evals)
+        challenges, joint_claim_eval = _n_to_one_reduction(
+            evals, transcript, b"challenge_combine_n_to_one")
+        r_joint = challenges + list(r)
+        transcript.append_scalar(b"joint_claim_eval", joint_claim_eval)
+
+        if isinstance(gens, PolyCommitmentGens):
+            self.proof_derefs.verify_plain(
+                gens, transcript, r_joint, joint_claim_eval, comm.comm_ops_val)
+        else:
+            gens.verify_eval(self.proof_derefs, comm.comm_ops_val, r_joint,
+                             joint_claim_eval, transcript)
+
+
+# ---------------------------------------------------------------------------
+# hash + product layers
+# ---------------------------------------------------------------------------
+
+class ProductLayer:
+    def __init__(self, init: ProductCircuit, read_vec, write_vec, audit: ProductCircuit):
+        self.init = init
+        self.read_vec = read_vec
+        self.write_vec = write_vec
+        self.audit = audit
+
+
+class Layers:
+    """Hash layer build + product circuits (sparse_mlpoly_full.rs:744-841)."""
+
+    def __init__(self, eval_table_dev, addr_timestamps: AddrTimestamps,
+                 poly_ops_val: list[DensePolynomial], r_mem_check: tuple[int, int]):
+        r_hash, r_multiset_check = r_mem_check
+        rh = F.encode_fr([r_hash])[0]
+        rh2 = F.encode_fr([r_hash * r_hash % FR_MOD])[0]
+        gam = F.encode_fr([r_multiset_check])[0]
+
+        num_mem_cells = eval_table_dev.shape[0]
+        ident = F.encode_small_uints(np.arange(num_mem_cells, dtype=np.uint64))
+        zero_ts = fr.zeros((num_mem_cells,))
+        poly_init_hashed = DensePolynomial(
+            k_hash_layer(ident, eval_table_dev, zero_ts, rh, rh2, gam))
+        audit_ts_dev = addr_timestamps.audit_ts.Z
+        poly_audit_hashed = DensePolynomial(
+            k_hash_layer(ident, eval_table_dev, audit_ts_dev, rh, rh2, gam))
+
+        one = fr.one(())
+        read_hashed, write_hashed = [], []
+        for addrs, derefs_p, read_ts in zip(
+                addr_timestamps.ops_addr, poly_ops_val, addr_timestamps.read_ts):
+            read_hashed.append(DensePolynomial(
+                k_hash_layer(addrs.Z, derefs_p.Z, read_ts.Z, rh, rh2, gam)))
+            write_ts = fr.add(read_ts.Z, jnp.broadcast_to(one, read_ts.Z.shape))
+            write_hashed.append(DensePolynomial(
+                k_hash_layer(addrs.Z, derefs_p.Z, write_ts, rh, rh2, gam)))
+
+        self.prod_layer = ProductLayer(
+            init=ProductCircuit(poly_init_hashed),
+            read_vec=[ProductCircuit(p) for p in read_hashed],
+            write_vec=[ProductCircuit(p) for p in write_hashed],
+            audit=ProductCircuit(poly_audit_hashed),
+        )
+
+
+class PolyEvalNetwork:
+    def __init__(self, dense: MultiSparseMatPolynomialAsDense, derefs: Derefs,
+                 mem_rx_dev, mem_ry_dev, r_mem_check: tuple[int, int]):
+        self.row_layers = Layers(mem_rx_dev, dense.row, derefs.row_ops_val, r_mem_check)
+        self.col_layers = Layers(mem_ry_dev, dense.col, derefs.col_ops_val, r_mem_check)
+
+
+@dataclass
+class HashLayerProof:
+    """Openings of all hash-layer inputs at (rand_mem, rand_ops)
+    (sparse_mlpoly_full.rs:872-1266)."""
+
+    eval_row: tuple  # (addr_vec, read_ts_vec, audit_ts)
+    eval_col: tuple
+    eval_val: list[int]
+    eval_derefs: tuple  # (row_ops_val, col_ops_val)
+    proof_ops: PolyEvalProof
+    proof_mem: PolyEvalProof
+    proof_derefs: DerefsEvalProof
+
+    PROTOCOL = b"Sparse polynomial hash layer proof"
+
+    @staticmethod
+    def prove(rand: tuple[list[int], list[int]], dense: MultiSparseMatPolynomialAsDense,
+              derefs: Derefs, gens: SparseMatPolyCommitmentGens, transcript, random_tape):
+        transcript.append_protocol_name(HashLayerProof.PROTOCOL)
+        rand_mem, rand_ops = rand
+
+        eval_row_ops_val = batch_evaluate(derefs.row_ops_val, rand_ops)
+        eval_col_ops_val = batch_evaluate(derefs.col_ops_val, rand_ops)
+        proof_derefs = DerefsEvalProof.prove(
+            derefs, eval_row_ops_val, eval_col_ops_val, rand_ops,
+            gens.gens_derefs, transcript, random_tape)
+        eval_derefs = (eval_row_ops_val, eval_col_ops_val)
+
+        # all ops-sized openings share one eq table each
+        ops_evals = batch_evaluate(
+            dense.row.ops_addr + dense.row.read_ts +
+            dense.col.ops_addr + dense.col.read_ts + dense.val, rand_ops)
+        k = dense.batch_size
+        eval_row_addr = ops_evals[0:k]
+        eval_row_read_ts = ops_evals[k:2 * k]
+        eval_col_addr = ops_evals[2 * k:3 * k]
+        eval_col_read_ts = ops_evals[3 * k:4 * k]
+        eval_val = ops_evals[4 * k:5 * k]
+        mem_evals = batch_evaluate([dense.row.audit_ts, dense.col.audit_ts], rand_mem)
+        eval_row_audit_ts, eval_col_audit_ts = mem_evals
+
+        evals_ops = list(ops_evals)
+        evals_ops += [0] * (next_power_of_two(len(evals_ops)) - len(evals_ops))
+        transcript.append_scalars(b"claim_evals_ops", evals_ops)
+        challenges_ops, joint_claim_eval_ops = _n_to_one_reduction(
+            evals_ops, transcript, b"challenge_combine_n_to_one")
+        r_joint_ops = challenges_ops + list(rand_ops)
+        transcript.append_scalar(b"joint_claim_eval_ops", joint_claim_eval_ops)
+        proof_ops, _ = PolyEvalProof.prove(
+            dense.comb_ops, None, r_joint_ops, joint_claim_eval_ops, None,
+            gens.gens_ops, transcript, random_tape)
+
+        evals_mem = [eval_row_audit_ts, eval_col_audit_ts]
+        transcript.append_scalars(b"claim_evals_mem", evals_mem)
+        challenges_mem, joint_claim_eval_mem = _n_to_one_reduction(
+            evals_mem, transcript, b"challenge_combine_two_to_one")
+        r_joint_mem = challenges_mem + list(rand_mem)
+        transcript.append_scalar(b"joint_claim_eval_mem", joint_claim_eval_mem)
+        proof_mem, _ = PolyEvalProof.prove(
+            dense.comb_mem, None, r_joint_mem, joint_claim_eval_mem, None,
+            gens.gens_mem, transcript, random_tape)
+
+        return HashLayerProof(
+            eval_row=(eval_row_addr, eval_row_read_ts, eval_row_audit_ts),
+            eval_col=(eval_col_addr, eval_col_read_ts, eval_col_audit_ts),
+            eval_val=eval_val,
+            eval_derefs=eval_derefs,
+            proof_ops=proof_ops,
+            proof_mem=proof_mem,
+            proof_derefs=proof_derefs,
+        )
+
+    @staticmethod
+    def _verify_helper(rand, claims, eval_ops_val, eval_ops_addr, eval_read_ts,
+                       eval_audit_ts, r, r_hash, r_multiset_check):
+        """Re-derive hashes from openings (sparse_mlpoly_full.rs:1048-1112)."""
+        r_hash_sqr = r_hash * r_hash % FR_MOD
+
+        def hash_func(addr, val, ts):
+            return (ts * r_hash_sqr + val * r_hash + addr) % FR_MOD
+
+        rand_mem, _rand_ops = rand
+        claim_init, claim_read, claim_write, claim_audit = claims
+
+        eval_init_addr = IdentityPolynomial(len(rand_mem)).evaluate(rand_mem)
+        eval_init_val = EqPolynomial(r).evaluate(rand_mem)
+        if claim_init != (hash_func(eval_init_addr, eval_init_val, 0) - r_multiset_check) % FR_MOD:
+            raise ProofVerifyError("hash layer: init claim mismatch")
+        if claim_audit != (hash_func(eval_init_addr, eval_init_val, eval_audit_ts) - r_multiset_check) % FR_MOD:
+            raise ProofVerifyError("hash layer: audit claim mismatch")
+        for i in range(len(eval_ops_val)):
+            hr = (hash_func(eval_ops_addr[i], eval_ops_val[i], eval_read_ts[i]) - r_multiset_check) % FR_MOD
+            if claim_read[i] != hr:
+                raise ProofVerifyError(f"hash layer: read claim {i} mismatch")
+            hw = (hash_func(eval_ops_addr[i], eval_ops_val[i], (eval_read_ts[i] + 1) % FR_MOD)
+                  - r_multiset_check) % FR_MOD
+            if claim_write[i] != hw:
+                raise ProofVerifyError(f"hash layer: write claim {i} mismatch")
+
+    def verify(self, rand, claims_row, claims_col, claims_dotp,
+               comm: SparseMatPolyCommitment, comm_derefs: DerefsCommitment,
+               gens: SparseMatPolyCommitmentGens, rx, ry,
+               r_hash: int, r_multiset_check: int, transcript) -> None:
+        transcript.append_protocol_name(HashLayerProof.PROTOCOL)
+        rand_mem, rand_ops = rand
+        eval_row_ops_val, eval_col_ops_val = self.eval_derefs
+
+        self.proof_derefs.verify(rand_ops, eval_row_ops_val, eval_col_ops_val,
+                                 gens.gens_derefs, comm_derefs, transcript)
+
+        eval_row_addr, eval_row_read_ts, eval_row_audit_ts = self.eval_row
+        eval_col_addr, eval_col_read_ts, eval_col_audit_ts = self.eval_col
+
+        HashLayerProof._verify_helper(
+            (rand_mem, rand_ops), claims_row, eval_row_ops_val,
+            eval_row_addr, eval_row_read_ts, eval_row_audit_ts,
+            rx, r_hash, r_multiset_check)
+        HashLayerProof._verify_helper(
+            (rand_mem, rand_ops), claims_col, eval_col_ops_val,
+            eval_col_addr, eval_col_read_ts, eval_col_audit_ts,
+            ry, r_hash, r_multiset_check)
+
+        # dotp claims must match the deref/val openings
+        num_instances = len(eval_row_ops_val)
+        assert len(claims_dotp) == 3 * num_instances
+        for i in range(num_instances):
+            if claims_dotp[3 * i] != eval_row_ops_val[i]:
+                raise ProofVerifyError(f"hash layer: dotp left claim {i} mismatch")
+            if claims_dotp[3 * i + 1] != eval_col_ops_val[i]:
+                raise ProofVerifyError(f"hash layer: dotp right claim {i} mismatch")
+            if claims_dotp[3 * i + 2] != self.eval_val[i]:
+                raise ProofVerifyError(f"hash layer: dotp weight claim {i} mismatch")
+
+        evals_ops = (list(eval_row_addr) + list(eval_row_read_ts) +
+                     list(eval_col_addr) + list(eval_col_read_ts) + list(self.eval_val))
+        evals_ops += [0] * (next_power_of_two(len(evals_ops)) - len(evals_ops))
+        transcript.append_scalars(b"claim_evals_ops", evals_ops)
+        challenges_ops, joint_claim_eval_ops = _n_to_one_reduction(
+            evals_ops, transcript, b"challenge_combine_n_to_one")
+        r_joint_ops = challenges_ops + list(rand_ops)
+        transcript.append_scalar(b"joint_claim_eval_ops", joint_claim_eval_ops)
+        self.proof_ops.verify_plain(gens.gens_ops, transcript, r_joint_ops,
+                                    joint_claim_eval_ops, comm.comm_comb_ops)
+
+        evals_mem = [eval_row_audit_ts, eval_col_audit_ts]
+        transcript.append_scalars(b"claim_evals_mem", evals_mem)
+        challenges_mem, joint_claim_eval_mem = _n_to_one_reduction(
+            evals_mem, transcript, b"challenge_combine_two_to_one")
+        r_joint_mem = challenges_mem + list(rand_mem)
+        transcript.append_scalar(b"joint_claim_eval_mem", joint_claim_eval_mem)
+        self.proof_mem.verify_plain(gens.gens_mem, transcript, r_joint_mem,
+                                    joint_claim_eval_mem, comm.comm_comb_mem)
+
+
+@dataclass
+class ProductLayerProof:
+    """Grand-product claims + batched layered sumchecks
+    (sparse_mlpoly_full.rs:1292-1521)."""
+
+    eval_row: tuple  # (init, read_vec, write_vec, audit)
+    eval_col: tuple
+    eval_val: tuple  # (dotp_left_vec, dotp_right_vec)
+    proof_mem: ProductCircuitEvalProofBatched
+    proof_ops: ProductCircuitEvalProofBatched
+
+    PROTOCOL = b"Sparse polynomial product layer proof"
+
+    @staticmethod
+    def prove(row_prod_layer: ProductLayer, col_prod_layer: ProductLayer,
+              dense: MultiSparseMatPolynomialAsDense, derefs: Derefs,
+              eval: list[int], transcript):
+        transcript.append_protocol_name(ProductLayerProof.PROTOCOL)
+
+        row_eval_init = row_prod_layer.init.evaluate()
+        row_eval_audit = row_prod_layer.audit.evaluate()
+        row_eval_read = [p.evaluate() for p in row_prod_layer.read_vec]
+        row_eval_write = [p.evaluate() for p in row_prod_layer.write_vec]
+
+        ws = rs = 1
+        for v in row_eval_write:
+            ws = ws * v % FR_MOD
+        for v in row_eval_read:
+            rs = rs * v % FR_MOD
+        assert row_eval_init * ws % FR_MOD == rs * row_eval_audit % FR_MOD
+
+        transcript.append_scalar(b"claim_row_eval_init", row_eval_init)
+        transcript.append_scalars(b"claim_row_eval_read", row_eval_read)
+        transcript.append_scalars(b"claim_row_eval_write", row_eval_write)
+        transcript.append_scalar(b"claim_row_eval_audit", row_eval_audit)
+
+        col_eval_init = col_prod_layer.init.evaluate()
+        col_eval_audit = col_prod_layer.audit.evaluate()
+        col_eval_read = [p.evaluate() for p in col_prod_layer.read_vec]
+        col_eval_write = [p.evaluate() for p in col_prod_layer.write_vec]
+
+        ws = rs = 1
+        for v in col_eval_write:
+            ws = ws * v % FR_MOD
+        for v in col_eval_read:
+            rs = rs * v % FR_MOD
+        assert col_eval_init * ws % FR_MOD == rs * col_eval_audit % FR_MOD
+
+        transcript.append_scalar(b"claim_col_eval_init", col_eval_init)
+        transcript.append_scalars(b"claim_col_eval_read", col_eval_read)
+        transcript.append_scalars(b"claim_col_eval_write", col_eval_write)
+        transcript.append_scalar(b"claim_col_eval_audit", col_eval_audit)
+
+        # dotp circuits, interleaved (left_i, right_i) after a half split
+        assert len(eval) == len(derefs.row_ops_val)
+        dotp_circuits: list[DotProductCircuit] = []
+        eval_dotp_left_vec, eval_dotp_right_vec = [], []
+        for i in range(len(derefs.row_ops_val)):
+            circuit = DotProductCircuit(
+                derefs.row_ops_val[i].clone(),
+                derefs.col_ops_val[i].clone(),
+                dense.val[i].clone(),
+            )
+            cl, cr = circuit.split()
+            el, er = cl.evaluate(), cr.evaluate()
+            transcript.append_scalar(b"claim_eval_dotp_left", el)
+            transcript.append_scalar(b"claim_eval_dotp_right", er)
+            assert (el + er) % FR_MOD == eval[i] % FR_MOD
+            eval_dotp_left_vec.append(el)
+            eval_dotp_right_vec.append(er)
+            dotp_circuits.extend([cl, cr])
+
+        ops_circuits = (list(row_prod_layer.read_vec) + list(row_prod_layer.write_vec) +
+                        list(col_prod_layer.read_vec) + list(col_prod_layer.write_vec))
+        proof_ops, rand_ops = ProductCircuitEvalProofBatched.prove(
+            ops_circuits, dotp_circuits, transcript)
+
+        mem_circuits = [row_prod_layer.init, row_prod_layer.audit,
+                        col_prod_layer.init, col_prod_layer.audit]
+        proof_mem, rand_mem = ProductCircuitEvalProofBatched.prove(
+            mem_circuits, [], transcript)
+
+        return (
+            ProductLayerProof(
+                eval_row=(row_eval_init, row_eval_read, row_eval_write, row_eval_audit),
+                eval_col=(col_eval_init, col_eval_read, col_eval_write, col_eval_audit),
+                eval_val=(eval_dotp_left_vec, eval_dotp_right_vec),
+                proof_mem=proof_mem,
+                proof_ops=proof_ops,
+            ),
+            rand_mem,
+            rand_ops,
+        )
+
+    def verify(self, num_ops: int, num_mem_cells: int, evals: list[int], transcript):
+        """Returns (claims_mem, rand_mem, claims_ops, claims_dotp, rand_ops)."""
+        transcript.append_protocol_name(ProductLayerProof.PROTOCOL)
+
+        num_instances = len(evals)
+        row_eval_init, row_eval_read, row_eval_write, row_eval_audit = self.eval_row
+        col_eval_init, col_eval_read, col_eval_write, col_eval_audit = self.eval_col
+        eval_dotp_left_vec, eval_dotp_right_vec = self.eval_val
+
+        assert len(row_eval_read) == num_instances
+        assert len(row_eval_write) == num_instances
+
+        ws = rs = 1
+        for v in row_eval_write:
+            ws = ws * v % FR_MOD
+        for v in row_eval_read:
+            rs = rs * v % FR_MOD
+        if row_eval_init * ws % FR_MOD != rs * row_eval_audit % FR_MOD:
+            raise ProofVerifyError("product layer: row multiset check failed")
+
+        transcript.append_scalar(b"claim_row_eval_init", row_eval_init)
+        transcript.append_scalars(b"claim_row_eval_read", row_eval_read)
+        transcript.append_scalars(b"claim_row_eval_write", row_eval_write)
+        transcript.append_scalar(b"claim_row_eval_audit", row_eval_audit)
+
+        ws = rs = 1
+        for v in col_eval_write:
+            ws = ws * v % FR_MOD
+        for v in col_eval_read:
+            rs = rs * v % FR_MOD
+        if col_eval_init * ws % FR_MOD != rs * col_eval_audit % FR_MOD:
+            raise ProofVerifyError("product layer: col multiset check failed")
+
+        transcript.append_scalar(b"claim_col_eval_init", col_eval_init)
+        transcript.append_scalars(b"claim_col_eval_read", col_eval_read)
+        transcript.append_scalars(b"claim_col_eval_write", col_eval_write)
+        transcript.append_scalar(b"claim_col_eval_audit", col_eval_audit)
+
+        claims_dotp_circuit: list[int] = []
+        for i in range(num_instances):
+            if (eval_dotp_left_vec[i] + eval_dotp_right_vec[i]) % FR_MOD != evals[i] % FR_MOD:
+                raise ProofVerifyError(f"product layer: dotp split check {i} failed")
+            transcript.append_scalar(b"claim_eval_dotp_left", eval_dotp_left_vec[i])
+            transcript.append_scalar(b"claim_eval_dotp_right", eval_dotp_right_vec[i])
+            claims_dotp_circuit.extend([eval_dotp_left_vec[i], eval_dotp_right_vec[i]])
+
+        claims_prod_circuit = (list(row_eval_read) + list(row_eval_write) +
+                               list(col_eval_read) + list(col_eval_write))
+
+        claims_ops, claims_dotp, rand_ops = self.proof_ops.verify(
+            claims_prod_circuit, claims_dotp_circuit, num_ops, transcript)
+
+        claims_prod_mem = [row_eval_init, row_eval_audit, col_eval_init, col_eval_audit]
+        claims_mem, _, rand_mem = self.proof_mem.verify(
+            claims_prod_mem, [], num_mem_cells, transcript)
+
+        return claims_mem, rand_mem, claims_ops, claims_dotp, rand_ops
+
+
+@dataclass
+class PolyEvalNetworkProof:
+    proof_prod_layer: ProductLayerProof
+    proof_hash_layer: HashLayerProof
+
+    PROTOCOL = b"Sparse polynomial evaluation proof"
+
+    @staticmethod
+    def prove(network: PolyEvalNetwork, dense: MultiSparseMatPolynomialAsDense,
+              derefs: Derefs, evals: list[int], gens: SparseMatPolyCommitmentGens,
+              transcript, random_tape) -> "PolyEvalNetworkProof":
+        transcript.append_protocol_name(PolyEvalNetworkProof.PROTOCOL)
+        proof_prod_layer, rand_mem, rand_ops = ProductLayerProof.prove(
+            network.row_layers.prod_layer, network.col_layers.prod_layer,
+            dense, derefs, evals, transcript)
+        proof_hash_layer = HashLayerProof.prove(
+            (rand_mem, rand_ops), dense, derefs, gens, transcript, random_tape)
+        return PolyEvalNetworkProof(proof_prod_layer, proof_hash_layer)
+
+    def verify(self, comm: SparseMatPolyCommitment, comm_derefs: DerefsCommitment,
+               evals: list[int], gens: SparseMatPolyCommitmentGens,
+               rx: list[int], ry: list[int], r_mem_check: tuple[int, int],
+               nz: int, transcript) -> None:
+        transcript.append_protocol_name(PolyEvalNetworkProof.PROTOCOL)
+        num_instances = len(evals)
+        r_hash, r_multiset_check = r_mem_check
+        num_ops = next_power_of_two(nz)
+        num_mem_cells = comm.num_mem_cells
+
+        claims_mem, rand_mem, claims_ops, claims_dotp, rand_ops = \
+            self.proof_prod_layer.verify(num_ops, num_mem_cells, evals, transcript)
+        assert len(claims_mem) == 4
+        assert len(claims_ops) == 4 * num_instances
+
+        claims_row = (claims_mem[0], claims_ops[:num_instances],
+                      claims_ops[num_instances:2 * num_instances], claims_mem[1])
+        claims_col = (claims_mem[2], claims_ops[2 * num_instances:3 * num_instances],
+                      claims_ops[3 * num_instances:4 * num_instances], claims_mem[3])
+
+        self.proof_hash_layer.verify(
+            (rand_mem, rand_ops), claims_row, claims_col, claims_dotp,
+            comm, comm_derefs, gens, rx, ry, r_hash, r_multiset_check, transcript)
+
+
+def equalize(rx: list[int], ry: list[int]) -> tuple[list[int], list[int]]:
+    """Zero-prefix the shorter point (sparse_mlpoly_full.rs:1681-1697)."""
+    if len(rx) < len(ry):
+        return [0] * (len(ry) - len(rx)) + list(rx), list(ry)
+    if len(rx) > len(ry):
+        return list(rx), [0] * (len(rx) - len(ry)) + list(ry)
+    return list(rx), list(ry)
+
+
+@dataclass
+class SparseMatPolyEvalProof:
+    comm_derefs: DerefsCommitment
+    poly_eval_network_proof: PolyEvalNetworkProof
+
+    PROTOCOL = b"Sparse polynomial evaluation proof"
+
+    @staticmethod
+    def prove(dense: MultiSparseMatPolynomialAsDense, rx: list[int], ry: list[int],
+              evals: list[int], gens: SparseMatPolyCommitmentGens,
+              transcript, random_tape) -> "SparseMatPolyEvalProof":
+        transcript.append_protocol_name(SparseMatPolyEvalProof.PROTOCOL)
+        assert len(evals) == dense.batch_size
+
+        rx_ext, ry_ext = equalize(rx, ry)
+        mem_rx = EqPolynomial(rx_ext).evals_device()
+        mem_ry = EqPolynomial(ry_ext).evals_device()
+
+        derefs = dense.deref(mem_rx, mem_ry)
+        comm_derefs = derefs.commit(gens.gens_derefs)
+        comm_derefs.append_to_transcript(b"comm_poly_row_col_ops_val", transcript)
+
+        r_mem_check = transcript.challenge_vector(b"challenge_r_hash", 2)
+        net = PolyEvalNetwork(dense, derefs, mem_rx, mem_ry,
+                              (r_mem_check[0], r_mem_check[1]))
+        network_proof = PolyEvalNetworkProof.prove(
+            net, dense, derefs, evals, gens, transcript, random_tape)
+        return SparseMatPolyEvalProof(comm_derefs, network_proof)
+
+    def verify(self, comm: SparseMatPolyCommitment, rx: list[int], ry: list[int],
+               evals: list[int], gens: SparseMatPolyCommitmentGens, transcript) -> None:
+        transcript.append_protocol_name(SparseMatPolyEvalProof.PROTOCOL)
+        rx_ext, ry_ext = equalize(rx, ry)
+        nz, num_mem_cells = comm.num_ops, comm.num_mem_cells
+        assert pow2(len(rx_ext)) == num_mem_cells
+
+        self.comm_derefs.append_to_transcript(b"comm_poly_row_col_ops_val", transcript)
+        r_mem_check = transcript.challenge_vector(b"challenge_r_hash", 2)
+        self.poly_eval_network_proof.verify(
+            comm, self.comm_derefs, evals, gens, rx_ext, ry_ext,
+            (r_mem_check[0], r_mem_check[1]), nz, transcript)

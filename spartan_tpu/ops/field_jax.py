@@ -381,6 +381,19 @@ def decode_fr(arr, spec: FieldSpec = FR) -> list[int]:
     return limbs_to_ints(host)
 
 
+def encode_small_uints(values, spec: FieldSpec = FR) -> jnp.ndarray:
+    """numpy array of uints < 2^64 -> Montgomery device limbs (fast path).
+
+    Skips the per-element Python bigint path of ``encode_fr``; used for the
+    index/timestamp tables of the lookup argument (up to 2^22 elements).
+    """
+    v = np.asarray(values, dtype=np.uint64)
+    canon = np.zeros((*v.shape, NUM_LIMBS), dtype=np.uint32)
+    for i in range(4):
+        canon[..., i] = (v >> (LIMB_BITS * i)) & LIMB_MASK
+    return _to_mont_jit(jnp.asarray(canon), spec.name)
+
+
 def encode_fq(values) -> jnp.ndarray:
     return encode_fr(values, FQ)
 
