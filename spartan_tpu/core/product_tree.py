@@ -76,6 +76,68 @@ class DotProductCircuit:
 
 
 @dataclass
+class LayerProof:
+    proof: SumcheckInstanceProof
+    claims: list[int]
+
+    def verify(self, claim: int, num_rounds: int, degree_bound: int, transcript):
+        return self.proof.verify(claim, num_rounds, degree_bound, transcript)
+
+
+@dataclass
+class ProductCircuitEvalProof:
+    """Single-circuit layered proof (product_tree.rs:149-248)."""
+
+    proof: list[LayerProof]
+
+    @staticmethod
+    def prove(circuit: ProductCircuit, transcript):
+        """Returns (proof, claim, rand)."""
+        proof: list[LayerProof] = []
+        num_layers = len(circuit.left_vec)
+        claim = circuit.evaluate()
+        rand: list[int] = []
+        for layer_id in range(num_layers - 1, -1, -1):
+            poly_C = DensePolynomial(EqPolynomial(rand).evals_device())
+            assert poly_C.len == circuit.left_vec[layer_id].len
+            num_rounds_prod = log_2(poly_C.len) if poly_C.len > 1 else 0
+            proof_prod, rand_prod, claims_prod = SumcheckInstanceProof.prove_cubic(
+                claim, num_rounds_prod,
+                circuit.left_vec[layer_id].clone(), circuit.right_vec[layer_id].clone(),
+                poly_C, transcript)
+            transcript.append_scalar(b"claim_prod_left", claims_prod[0])
+            transcript.append_scalar(b"claim_prod_right", claims_prod[1])
+            r_layer = transcript.challenge_scalar(b"challenge_r_layer")
+            claim = (claims_prod[0] + r_layer * (claims_prod[1] - claims_prod[0])) % FR_MOD
+            rand = [r_layer] + rand_prod
+            proof.append(LayerProof(proof_prod, claims_prod[:2]))
+        return ProductCircuitEvalProof(proof), claim, rand
+
+    def verify(self, eval_: int, length: int, transcript):
+        """Returns (claim, rand)."""
+        num_layers = log_2(length)
+        claim = eval_ % FR_MOD
+        rand: list[int] = []
+        if len(self.proof) != num_layers:
+            raise ProofVerifyError("product tree: wrong number of layers")
+        for i in range(num_layers):
+            claim_last, rand_prod = self.proof[i].verify(claim, i, 3, transcript)
+            claims_prod = self.proof[i].claims
+            transcript.append_scalar(b"claim_prod_left", claims_prod[0])
+            transcript.append_scalar(b"claim_prod_right", claims_prod[1])
+            assert len(rand) == len(rand_prod)
+            eq = 1
+            for a, b in zip(rand, rand_prod):
+                eq = eq * ((a * b + (1 - a) * (1 - b)) % FR_MOD) % FR_MOD
+            if claims_prod[0] * claims_prod[1] % FR_MOD * eq % FR_MOD != claim_last % FR_MOD:
+                raise ProofVerifyError(f"product tree: claim mismatch at layer {i}")
+            r_layer = transcript.challenge_scalar(b"challenge_r_layer")
+            claim = ((1 - r_layer) * claims_prod[0] + r_layer * claims_prod[1]) % FR_MOD
+            rand = [r_layer] + rand_prod
+        return claim, rand
+
+
+@dataclass
 class LayerProofBatched:
     proof: SumcheckInstanceProof
     claims_prod_left: list[int]

@@ -13,7 +13,7 @@ import hashlib
 import jax.numpy as jnp
 
 from spartan_tpu.core.mle import DensePolynomial, EqPolynomial
-from spartan_tpu.core.sparse_mlpoly import SparseMatEntry, SparseMatPolynomial
+from spartan_tpu.core.sparse_mlpoly import SparseMatPolynomial
 from spartan_tpu.ops import field_jax as F
 from spartan_tpu.ops.fields_host import FR_MOD, fr_to_bytes
 from spartan_tpu.utils.math import is_power_of_two, log_2
@@ -35,9 +35,16 @@ class R1CSShape:
         self.num_inputs = num_inputs
         nx = log_2(num_cons)
         ny = log_2(2 * num_vars)
-        self.A = SparseMatPolynomial(nx, ny, [SparseMatEntry(*t) for t in A])
-        self.B = SparseMatPolynomial(nx, ny, [SparseMatEntry(*t) for t in B])
-        self.C = SparseMatPolynomial(nx, ny, [SparseMatEntry(*t) for t in C])
+
+        def build(tups):
+            return SparseMatPolynomial.from_arrays(
+                nx, ny,
+                rows=[t[0] for t in tups], cols=[t[1] for t in tups],
+                vals=[t[2] for t in tups])
+
+        self.A = build(A)
+        self.B = build(B)
+        self.C = build(C)
 
     def get_num_vars(self) -> int:
         return self.num_vars
@@ -61,11 +68,11 @@ class R1CSShape:
         for v in (self.num_cons, self.num_vars, self.num_inputs):
             h.update(v.to_bytes(8, "little"))
         for mat in (self.A, self.B, self.C):
-            h.update(len(mat.M).to_bytes(8, "little"))
-            for e in mat.M:
-                h.update(e.row.to_bytes(8, "little"))
-                h.update(e.col.to_bytes(8, "little"))
-                h.update(fr_to_bytes(e.val))
+            h.update(len(mat.vals).to_bytes(8, "little"))
+            h.update(mat.rows.astype("<i8").tobytes())
+            h.update(mat.cols.astype("<i8").tobytes())
+            for v in mat.vals:
+                h.update(fr_to_bytes(v))
         return h.digest()
 
     def build_z(self, vars_: list[int], inputs: list[int]) -> list[int]:
@@ -152,6 +159,9 @@ class R1CSCommitment:
         transcript.append_u64(b"num_inputs", self.num_inputs)
         self.comm.append_to_transcript(b"comm", transcript)
 
+    def serialize_fields(self):
+        return [self.num_cons, self.num_vars, self.num_inputs, self.comm]
+
 
 class R1CSDecommitment:
     """Prover-side dense representation (r1cs.rs:365-370)."""
@@ -165,6 +175,9 @@ class R1CSEvalProof:
 
     def __init__(self, proof):
         self.proof = proof
+
+    def serialize_fields(self):
+        return [self.proof]
 
     @staticmethod
     def prove(decomm: R1CSDecommitment, rx: list[int], ry: list[int],

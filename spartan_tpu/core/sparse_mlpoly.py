@@ -1,9 +1,11 @@
 """Sparse multilinear polynomials for the R1CS A/B/C matrices.
 
-TPU-native counterpart of /root/reference/src/sparse_mlpoly.rs. The entry
-lists are static per shape, so both access orders are precomputed on host
-at construction (entries sorted by row and by column, with the segment
-boundaries of each). Every device operation is then:
+TPU-native counterpart of /root/reference/src/sparse_mlpoly.rs. Entries are
+stored as numpy index arrays + one exact value list (array-native — no
+per-entry Python objects; the keyless circuit has 7.1M entries), with ONE
+Montgomery device copy of the values and int32 permutations for each access
+order. Both access orders are precomputed on host at construction (sorted
+by row and by column, with segment boundaries). Every device operation is:
 
     gather -> field multiply -> inclusive field-add scan -> static
     boundary difference
@@ -31,17 +33,19 @@ from spartan_tpu.ops.scan import inclusive_scan
 fr = F.fr
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _k_segment_sums(prods, starts, ends):
-    """Per-segment field sums from sorted products.
+@jax.jit
+def _k_segment_sums_perm(vals, weights, widx, perm, starts, ends):
+    """Per-segment sums of val_i * weights[widx_i], in `perm` order.
 
-    prods [N,16] Montgomery (sorted by segment); starts/ends [S] indices
-    into the prefix array (start/end of each segment's run). Returns [S,16].
+    vals [N,16] Montgomery (natural order); perm [N] gathers them into
+    segment-sorted order; starts/ends [S] index the prefix array. One
+    gather + one field mul + one log-depth field-add scan + boundary diffs.
     """
-    unit = jnp.asarray(F.FR.r1_limbs, jnp.uint32) * 0  # additive unit = 0
+    prods = fr.mul(vals[perm], weights[widx[perm]])
+    unit = jnp.zeros((NUM_LIMBS,), jnp.uint32)
     S = inclusive_scan(fr.add, prods, unit)
     zero = jnp.zeros((1, NUM_LIMBS), jnp.uint32)
-    P = jnp.concatenate([zero, S], axis=0)  # P[i] = sum of first i
+    P = jnp.concatenate([zero, S], axis=0)
     return fr.sub(P[ends], P[starts])
 
 
@@ -52,13 +56,9 @@ def _k_gather_mul3(vals, eq_x, eq_y, rows, cols):
     return fr.reduce_sum(t, axis=0)
 
 
-@jax.jit
-def _k_weighted_products(vals, weights, idx):
-    """val_i * weights[idx_i], elementwise gathered products."""
-    return fr.mul(vals, weights[idx])
-
-
 class SparseMatEntry:
+    """Compatibility view of one entry (sparse_mlpoly.rs:10-32)."""
+
     __slots__ = ("row", "col", "val")
 
     def __init__(self, row: int, col: int, val: int):
@@ -67,64 +67,92 @@ class SparseMatEntry:
         self.val = val % FR_MOD
 
 
+class _EntriesView:
+    """Lazy sequence facade over the array storage (len / index / iterate)."""
+
+    def __init__(self, poly: "SparseMatPolynomial"):
+        self._p = poly
+
+    def __len__(self):
+        return len(self._p.vals)
+
+    def __getitem__(self, i):
+        return SparseMatEntry(int(self._p.rows[i]), int(self._p.cols[i]), self._p.vals[i])
+
+    def __iter__(self):
+        for r, c, v in zip(self._p.rows.tolist(), self._p.cols.tolist(), self._p.vals):
+            yield SparseMatEntry(r, c, v)
+
+
 class SparseMatPolynomial:
-    """MLE of a sparse matrix (sparse_mlpoly.rs:36-181), device-accelerated.
+    """MLE of a sparse matrix (sparse_mlpoly.rs:36-181), device-accelerated."""
 
-    Host state: numpy index arrays in two sort orders + a device copy of the
-    values (Montgomery). All entries are immutable after construction.
-    """
-
-    def __init__(self, num_vars_x: int, num_vars_y: int, entries: list[SparseMatEntry]):
+    def __init__(self, num_vars_x: int, num_vars_y: int, entries=None, *,
+                 rows=None, cols=None, vals=None):
         self.num_vars_x = num_vars_x
         self.num_vars_y = num_vars_y
-        self.M = entries
-        n = len(entries)
-        rows = np.asarray([e.row for e in entries], dtype=np.int64)
-        cols = np.asarray([e.col for e in entries], dtype=np.int64)
-        vals = [e.val for e in entries]
-        self._rows = rows
-        self._cols = cols
-        self._vals = vals
+        if entries is not None:
+            rows = np.asarray([e.row for e in entries], dtype=np.int64)
+            cols = np.asarray([e.col for e in entries], dtype=np.int64)
+            vals = [e.val for e in entries]
+        self.rows = np.asarray(rows, dtype=np.int64)
+        self.cols = np.asarray(cols, dtype=np.int64)
+        self.vals = [v % FR_MOD for v in vals]
+        self.M = _EntriesView(self)
 
-        # row-sorted order (stable) for SpMV
-        order_r = np.argsort(rows, kind="stable")
-        self._r_rows = jnp.asarray(rows[order_r], dtype=jnp.int32)
-        self._r_cols = jnp.asarray(cols[order_r], dtype=jnp.int32)
-        self._r_vals = F.encode_fr([vals[i] for i in order_r]) if n else F.fr.zeros((0,))
-        self._rows_sorted_np = rows[order_r]
+        n = len(self.vals)
+        self._order_r = np.argsort(self.rows, kind="stable")
+        self._order_c = np.argsort(self.cols, kind="stable")
+        self._rows_sorted = self.rows[self._order_r]
+        self._cols_sorted = self.cols[self._order_c]
 
-        # col-sorted order for eval-table transposes (A^T * eq)
-        order_c = np.argsort(cols, kind="stable")
-        self._c_rows = jnp.asarray(rows[order_c], dtype=jnp.int32)
-        self._c_cols = jnp.asarray(cols[order_c], dtype=jnp.int32)
-        self._c_vals = F.encode_fr([vals[i] for i in order_c]) if n else F.fr.zeros((0,))
-        self._cols_sorted_np = cols[order_c]
+        # lazy device state (one Montgomery copy of values + permutations)
+        self._dev = None
+        self._bnd_cache: dict = {}
 
-        # unsorted device copies (for evaluate)
-        self._d_rows = jnp.asarray(rows, dtype=jnp.int32)
-        self._d_cols = jnp.asarray(cols, dtype=jnp.int32)
-        self._d_vals = F.encode_fr(vals) if n else F.fr.zeros((0,))
+    @staticmethod
+    def from_arrays(num_vars_x: int, num_vars_y: int, rows, cols, vals) -> "SparseMatPolynomial":
+        return SparseMatPolynomial(num_vars_x, num_vars_y,
+                                   rows=rows, cols=cols, vals=vals)
+
+    def _device(self):
+        if self._dev is None:
+            n = len(self.vals)
+            vals_mont = F.encode_fr(self.vals) if n else fr.zeros((0,))
+            self._dev = {
+                "vals": vals_mont,
+                "rows": jnp.asarray(self.rows, dtype=jnp.int32),
+                "cols": jnp.asarray(self.cols, dtype=jnp.int32),
+                "perm_r": jnp.asarray(self._order_r, dtype=jnp.int32),
+                "perm_c": jnp.asarray(self._order_c, dtype=jnp.int32),
+            }
+        return self._dev
 
     def num_entries(self) -> int:
-        return len(self.M)
+        return len(self.vals)
 
     def get_num_nz_entries(self) -> int:
         from spartan_tpu.utils.math import next_power_of_two
 
-        return next_power_of_two(len(self.M))
+        return next_power_of_two(len(self.vals))
 
-    def _boundaries(self, sorted_keys: np.ndarray, num_segments: int):
-        starts = np.searchsorted(sorted_keys, np.arange(num_segments), side="left")
-        ends = np.searchsorted(sorted_keys, np.arange(num_segments), side="right")
-        return jnp.asarray(starts, jnp.int32), jnp.asarray(ends, jnp.int32)
+    def _boundaries(self, axis: str, num_segments: int):
+        key = (axis, num_segments)
+        if key not in self._bnd_cache:
+            keys = self._rows_sorted if axis == "row" else self._cols_sorted
+            starts = np.searchsorted(keys, np.arange(num_segments), side="left")
+            ends = np.searchsorted(keys, np.arange(num_segments), side="right")
+            self._bnd_cache[key] = (jnp.asarray(starts, jnp.int32),
+                                    jnp.asarray(ends, jnp.int32))
+        return self._bnd_cache[key]
 
     def multiply_vec_device(self, num_rows: int, z_mont) -> jnp.ndarray:
         """M @ z over the field; z_mont [num_cols,16]; out [num_rows,16]."""
-        if not self.M:
+        if not self.vals:
             return fr.zeros((num_rows,))
-        prods = _k_weighted_products(self._r_vals, z_mont, self._r_cols)
-        starts, ends = self._boundaries(self._rows_sorted_np, num_rows)
-        return _k_segment_sums(prods, starts, ends)
+        d = self._device()
+        starts, ends = self._boundaries("row", num_rows)
+        return _k_segment_sums_perm(d["vals"], z_mont, d["cols"], d["perm_r"], starts, ends)
 
     def multiply_vec(self, num_rows: int, num_cols: int, z: list[int]) -> DensePolynomial:
         z_mont = F.encode_fr(z)
@@ -133,19 +161,20 @@ class SparseMatPolynomial:
 
     def compute_eval_table_sparse_device(self, evals_mont, num_cols: int) -> jnp.ndarray:
         """M^T @ evals: out[col] = sum_rows evals[row] * val (scatter-free)."""
-        if not self.M:
+        if not self.vals:
             return fr.zeros((num_cols,))
-        prods = _k_weighted_products(self._c_vals, evals_mont, self._c_rows)
-        starts, ends = self._boundaries(self._cols_sorted_np, num_cols)
-        return _k_segment_sums(prods, starts, ends)
+        d = self._device()
+        starts, ends = self._boundaries("col", num_cols)
+        return _k_segment_sums_perm(d["vals"], evals_mont, d["rows"], d["perm_c"], starts, ends)
 
     def compute_eval_table_sparse(self, evals: list[int], num_rows: int, num_cols: int) -> list[int]:
         return F.decode_fr(self.compute_eval_table_sparse_device(F.encode_fr(evals), num_cols))
 
     def evaluate_with_tables_device(self, eq_rx_mont, eq_ry_mont) -> int:
-        if not self.M:
+        if not self.vals:
             return 0
-        out = _k_gather_mul3(self._d_vals, eq_rx_mont, eq_ry_mont, self._d_rows, self._d_cols)
+        d = self._device()
+        out = _k_gather_mul3(d["vals"], eq_rx_mont, eq_ry_mont, d["rows"], d["cols"])
         return F.decode_fr(out[None])[0]
 
     def evaluate(self, rx: list[int], ry: list[int]) -> int:

@@ -141,14 +141,12 @@ def multi_sparse_to_dense_rep(sparse_polys) -> MultiSparseMatPolynomialAsDense:
     N = max(p.get_num_nz_entries() for p in sparse_polys)
     ops_row_vec, ops_col_vec, val_vec = [], [], []
     for p in sparse_polys:
-        n = len(p.M)
+        n = len(p.vals)
         rows = np.zeros(N, dtype=np.int64)
         cols = np.zeros(N, dtype=np.int64)
-        vals = [0] * N
-        for i, e in enumerate(p.M):
-            rows[i] = e.row
-            cols[i] = e.col
-            vals[i] = e.val
+        rows[:n] = p.rows
+        cols[:n] = p.cols
+        vals = list(p.vals) + [0] * (N - n)
         ops_row_vec.append(rows)
         ops_col_vec.append(cols)
         val_vec.append(DensePolynomial.from_ints(vals))

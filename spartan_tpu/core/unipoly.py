@@ -78,3 +78,6 @@ class CompressedUniPoly:
 
     def serialized_scalars(self) -> list[int]:
         return list(self.coeffs_except_linear_term)
+
+    def serialize_fields(self):
+        return [self.coeffs_except_linear_term]

@@ -1,0 +1,149 @@
+"""Keyless-circuit benchmark driver with phase-by-phase timing.
+
+TPU-native counterpart of /root/reference/examples/keyless_benchmark.rs:
+load .r1cs/.wtns -> convert (circom column remap) -> gens -> encode ->
+instrumented SNARK prove -> verify -> report. Since the keyless circuit
+files are not redistributable (the reference hardcodes absolute local
+paths, keyless_benchmark.rs:32-33), `--synthetic LOG2` generates a random
+satisfiable R1CS of that size instead.
+
+Usage:
+    python -m spartan_tpu.io.keyless_bench --r1cs main.r1cs --wtns w.wtns
+    python -m spartan_tpu.io.keyless_bench --synthetic 10 [--pcs kzg]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import random
+import time
+
+from spartan_tpu.io.r1cs_reader import R1CSFile, parse_wtns
+from spartan_tpu.ops.fields_host import FR_MOD
+from spartan_tpu.snark import Assignment, Instance, SNARK, SNARKGens
+from spartan_tpu.utils.math import log_2, next_power_of_two
+from spartan_tpu.utils.random_tape import RandomTape
+from spartan_tpu.utils.transcript import Transcript
+
+
+def load_circom(r1cs_path: str, wtns_path: str):
+    from spartan_tpu.core.r1cs import R1CSShape
+
+    r = R1CSFile.from_file(r1cs_path)
+    num_vars_padded = next_power_of_two(max(r.num_private_vars(), r.num_pub_inputs + 1))
+    num_cons_padded = next_power_of_two(max(r.num_constraints, 2))
+    A, B, C = r.to_sparse_matrices_padded(num_vars_padded)
+    shape = R1CSShape(num_cons_padded, num_vars_padded, r.num_pub_inputs, A, B, C)
+    inst = Instance.from_shape(shape)
+
+    wit = parse_wtns(wtns_path)
+    pubs = wit[1:1 + r.num_pub_inputs]
+    privs = wit[1 + r.num_pub_inputs:]
+    vars_ = Assignment(privs + [0] * (num_vars_padded - len(privs)))
+    inputs = Assignment(pubs)
+    max_nnz = max(len(shape.A.M), len(shape.B.M), len(shape.C.M))
+    return inst, vars_, inputs, max_nnz
+
+
+def synthetic(log2_cons: int, num_inputs: int = 1, nnz_per_row: int = 3, seed: int = 0):
+    """Random satisfiable R1CS at 2^log2_cons constraints/variables."""
+    from spartan_tpu.core.r1cs import R1CSShape
+
+    rng = random.Random(seed)
+    n = 1 << log2_cons
+    vars_ = [rng.randrange(FR_MOD) for _ in range(n)]
+    inputs = [rng.randrange(FR_MOD) for _ in range(num_inputs)]
+    z = vars_ + [1] + inputs
+    A, B, C = [], [], []
+    for i in range(n):
+        az = bz = 0
+        for _ in range(nnz_per_row):
+            ca, cb = rng.randrange(len(z)), rng.randrange(len(z))
+            va, vb = rng.randrange(1, FR_MOD), rng.randrange(1, FR_MOD)
+            A.append((i, ca, va))
+            B.append((i, cb, vb))
+            az = (az + va * z[ca]) % FR_MOD
+            bz = (bz + vb * z[cb]) % FR_MOD
+        C.append((i, n, az * bz % FR_MOD))
+    shape = R1CSShape(n, n, num_inputs, A, B, C)
+    max_nnz = max(len(A), len(B), len(C))
+    return Instance.from_shape(shape), Assignment(vars_), Assignment(inputs), max_nnz
+
+
+def run(inst, vars_, inputs, max_nnz, pcs: str = "hyrax", json_out: bool = False):
+    import jax
+
+    shape = inst.inst
+    report: dict = {
+        "num_cons": shape.num_cons, "num_vars": shape.num_vars,
+        "num_inputs": shape.num_inputs,
+        "nnz": [len(shape.A.M), len(shape.B.M), len(shape.C.M)],
+        "pcs": pcs, "backend": jax.default_backend(),
+    }
+
+    t0 = time.perf_counter()
+    kzg_srs = None
+    if pcs == "kzg":
+        from spartan_tpu.core.sparse_mlpoly_full import SparseMatPolyCommitmentGens  # noqa: F401
+        from spartan_tpu.pcs.kzg import KZGSrs
+        from spartan_tpu.utils.math import pow2
+
+        nv = log_2(next_power_of_two(max_nnz)) + 3  # batch 3 -> x2 padded to 8
+        kzg_srs = KZGSrs.setup_from_seed(pow2(nv) + 1, 0xDEADBEEF)
+    gens = SNARKGens(shape.num_cons, shape.num_vars, shape.num_inputs,
+                     max_nnz, pcs=pcs, kzg_srs=kzg_srs)
+    report["gens_s"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    comm, decomm = SNARK.encode(inst, gens)
+    report["encode_s"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    tape = RandomTape(b"snark_proof")
+    pt = Transcript(b"keyless_bench")
+    proof = SNARK.prove(inst, comm, decomm, vars_, inputs, gens, pt, tape)
+    report["prove_s"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    vt = Transcript(b"keyless_bench")
+    proof.verify(comm, inputs, vt, gens)
+    report["verify_s"] = time.perf_counter() - t0
+    report["verified"] = True
+
+    from spartan_tpu.utils.serialization import size_bytes
+
+    report["proof_bytes"] = size_bytes(proof)
+
+    if json_out:
+        print(json.dumps(report))
+    else:
+        print(f"  constraints 2^{log_2(shape.num_cons)}  vars 2^{log_2(shape.num_vars)}"
+              f"  nnz {report['nnz']}  pcs={pcs}  backend={report['backend']}")
+        for k in ("gens_s", "encode_s", "prove_s", "verify_s"):
+            print(f"  {k:10s} {report[k]:9.2f}")
+        print("  verification: OK")
+    return report
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--r1cs")
+    ap.add_argument("--wtns")
+    ap.add_argument("--synthetic", type=int, metavar="LOG2",
+                    help="use a random satisfiable R1CS of 2^LOG2 constraints")
+    ap.add_argument("--pcs", choices=("hyrax", "kzg"), default="hyrax")
+    ap.add_argument("--json", action="store_true")
+    args = ap.parse_args()
+
+    if args.synthetic is not None:
+        data = synthetic(args.synthetic)
+    elif args.r1cs and args.wtns:
+        data = load_circom(args.r1cs, args.wtns)
+    else:
+        ap.error("provide --r1cs/--wtns or --synthetic LOG2")
+    run(*data, pcs=args.pcs, json_out=args.json)
+
+
+if __name__ == "__main__":
+    main()

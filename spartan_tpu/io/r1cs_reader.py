@@ -125,7 +125,29 @@ def _parse_constraints(data: bytes, off: int, num_constraints: int, field_size: 
     """Per-constraint [nA, (col,val)*; nB, ...; nC, ...] records.
 
     Drops non-canonical values silently (matches r1cs_reader.rs:156).
+    Dispatches to the C parser (spartan_tpu.native) when available — the
+    keyless circuit has 7.1M records.
     """
+    try:
+        from spartan_tpu.native import r1cs_parse_native
+
+        parsed = r1cs_parse_native(data, off, num_constraints, field_size)
+    except ImportError:
+        parsed = None
+    if parsed is not None:
+        mats = []
+        for rows, cols, vals_raw in parsed:
+            n = rows.shape[0]
+            raw = vals_raw.tobytes()
+            fs = field_size
+            mat = []
+            for i in range(n):
+                val = int.from_bytes(raw[i * fs:(i + 1) * fs], "little")
+                if val < FR_MOD:
+                    mat.append((int(rows[i]), int(cols[i]), val))
+            mats.append(mat)
+        return tuple(mats)
+
     mats = ([], [], [])
     u32 = struct.Struct("<I")
     pos = off

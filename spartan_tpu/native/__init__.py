@@ -1,0 +1,101 @@
+"""Native host kernels: build-on-first-import C library with ctypes bindings.
+
+Provides `keccak_f1600(state: bytearray)` and the fast .r1cs constraint
+parser. Falls back to pure Python automatically if no compiler is present
+(`available` is False then); callers never need to branch — they import the
+dispatching wrappers from the usual modules.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "spartan_native.c")
+
+available = False
+_lib = None
+
+
+def _build() -> str | None:
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache_dir = os.environ.get("SPARTAN_TPU_NATIVE_DIR", tempfile.gettempdir())
+    so_path = os.path.join(cache_dir, f"spartan_native_{digest}.so")
+    if os.path.exists(so_path):
+        return so_path
+    tmp = so_path + f".tmp{os.getpid()}"
+    cmd = ["cc", "-O2", "-fPIC", "-shared", "-o", tmp, _SRC]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, so_path)
+        return so_path
+    except (subprocess.SubprocessError, OSError):
+        return None
+
+
+def _load():
+    global _lib, available
+    so = _build()
+    if so is None:
+        return
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        return
+    lib.keccak_f1600.argtypes = [ctypes.c_char_p]
+    lib.keccak_f1600.restype = None
+    lib.r1cs_count.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64,
+        ctypes.c_uint32, ctypes.c_uint32, ctypes.POINTER(ctypes.c_int64)]
+    lib.r1cs_count.restype = ctypes.c_int64
+    lib.r1cs_parse.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64,
+        ctypes.c_uint32, ctypes.c_uint32] + [ctypes.c_void_p] * 9
+    lib.r1cs_parse.restype = ctypes.c_int64
+    _lib = lib
+    available = True
+
+
+_load()
+
+
+def keccak_f1600_bytes_native(state: bytearray) -> None:
+    """In-place Keccak-f[1600] on a 200-byte state (C fast path)."""
+    buf = (ctypes.c_char * 200).from_buffer(state)
+    _lib.keccak_f1600(buf)
+
+
+def r1cs_parse_native(data: bytes, off: int, num_constraints: int, field_size: int):
+    """Fast .r1cs constraints parse -> 3 x (rows, cols, vals_raw) numpy arrays.
+
+    Returns None if the native library is unavailable or the buffer is
+    malformed (callers fall back to the Python parser).
+    """
+    import numpy as np
+
+    if not available:
+        return None
+    counts = (ctypes.c_int64 * 3)()
+    total = _lib.r1cs_count(data, len(data), off, num_constraints, field_size, counts)
+    if total < 0:
+        return None
+    out = []
+    ptrs = []
+    for m in range(3):
+        n = counts[m]
+        rows = np.empty(n, dtype=np.int64)
+        cols = np.empty(n, dtype=np.int64)
+        vals = np.empty(n * field_size, dtype=np.uint8)
+        out.append((rows, cols, vals))
+        ptrs += [rows.ctypes.data_as(ctypes.c_void_p),
+                 cols.ctypes.data_as(ctypes.c_void_p),
+                 vals.ctypes.data_as(ctypes.c_void_p)]
+    got = _lib.r1cs_parse(data, len(data), off, num_constraints, field_size, *ptrs)
+    if got != total:
+        return None
+    return out

@@ -63,10 +63,22 @@ def keccak_f1600(lanes: list[int]) -> list[int]:
     return a
 
 
-def keccak_f1600_bytes(state: bytearray) -> None:
+def _keccak_f1600_bytes_py(state: bytearray) -> None:
     """In-place Keccak-f[1600] on a 200-byte state (little-endian lanes)."""
     assert len(state) == 200
     lanes = [int.from_bytes(state[8 * i: 8 * i + 8], "little") for i in range(25)]
     lanes = keccak_f1600(lanes)
     for i, lane in enumerate(lanes):
         state[8 * i: 8 * i + 8] = lane.to_bytes(8, "little")
+
+
+# C fast path (spartan_tpu/native): ~50x on the transcript-heavy layers.
+try:
+    from spartan_tpu import native as _native
+
+    if _native.available:
+        keccak_f1600_bytes = _native.keccak_f1600_bytes_native
+    else:  # pragma: no cover
+        keccak_f1600_bytes = _keccak_f1600_bytes_py
+except ImportError:  # pragma: no cover
+    keccak_f1600_bytes = _keccak_f1600_bytes_py

@@ -6,6 +6,7 @@ from spartan_tpu.core.mle import DensePolynomial
 from spartan_tpu.core.product_tree import (
     DotProductCircuit,
     ProductCircuit,
+    ProductCircuitEvalProof,
     ProductCircuitEvalProofBatched,
 )
 from spartan_tpu.ops.fields_host import FR_MOD
@@ -26,6 +27,17 @@ def test_dot_product_circuit():
     weight = DensePolynomial.from_ints([1, 1, 1, 1])
     circ = DotProductCircuit(left, right, weight)
     assert circ.evaluate() == 70
+
+
+def test_single_circuit_proof_roundtrip():
+    vals = [random.randrange(1, FR_MOD) for _ in range(8)]
+    circ = ProductCircuit(DensePolynomial.from_ints(vals))
+    claim = circ.evaluate()
+    pt = Transcript(b"test_single")
+    proof, final_claim, _rand = ProductCircuitEvalProof.prove(circ, pt)
+    vt = Transcript(b"test_single")
+    got_claim, _ = proof.verify(claim, 8, vt)
+    assert got_claim == final_claim
 
 
 def test_batched_proof_roundtrip():

@@ -56,3 +56,18 @@ def test_snark_roundtrip():
     with pytest.raises((SpartanError, AssertionError)):
         vt2 = Transcript(b"snark_test")
         proof.verify(comm, inputs, vt2, gens)
+
+
+def test_snark_kzg_roundtrip():
+    """KZG mode: derefs committed/opened via pairing-based KZG."""
+    inst, vars_, inputs = _instance()
+    max_nnz = max(len(inst.inst.A.M), len(inst.inst.B.M), len(inst.inst.C.M))
+    gens = SNARKGens(8, 8, 1, max_nnz, pcs="kzg")
+    comm, decomm = SNARK.encode(inst, gens)
+
+    tape = RandomTape(b"snark_proof", seed=b"\x06" * 32)
+    pt = Transcript(b"snark_kzg_test")
+    proof = SNARK.prove(inst, comm, decomm, vars_, inputs, gens, pt, tape)
+
+    vt = Transcript(b"snark_kzg_test")
+    proof.verify(comm, inputs, vt, gens)
