@@ -59,6 +59,33 @@ def _stack6(*xs):
 
 
 def padd(p, q):
+    """Complete projective addition — dispatches to the fused Pallas kernel
+    on TPU (enable_pallas) or the XLA formulation below."""
+    return _padd_impl(p, q)
+
+
+def pdbl(p):
+    """Complete projective doubling — dispatching wrapper like ``padd``."""
+    return _pdbl_impl(p)
+
+
+_PALLAS_ON = False
+
+
+def enable_pallas(on: bool = True) -> None:
+    """Swap padd/pdbl to the fused VMEM kernels (~30x over XLA at 2^20)."""
+    global _padd_impl, _pdbl_impl, _PALLAS_ON
+    if on and not _PALLAS_ON:
+        from spartan_tpu.ops.pallas_field import make_curve_kernels
+
+        _padd_impl, _pdbl_impl = make_curve_kernels(F.FQ)
+        _PALLAS_ON = True
+    elif not on and _PALLAS_ON:
+        _padd_impl, _pdbl_impl = _padd_xla, _pdbl_xla
+        _PALLAS_ON = False
+
+
+def _padd_xla(p, q):
     """Complete projective addition (RCB 2016, Algorithm 7, a=0).
 
     Restructured into two *batched* field multiplications of 6 independent
@@ -110,7 +137,7 @@ def padd(p, q):
     return (X3, yz[0], yz[1])
 
 
-def pdbl(p):
+def _pdbl_xla(p):
     """Complete projective doubling (RCB 2016, Algorithm 9, a=0).
 
     Same layer-batching as ``padd``: two batched muls of 4 products each.
@@ -140,6 +167,10 @@ def pdbl(p):
     Y3 = add(x3a, y3b)
     X3 = add(x3b, x3b)
     return (X3, Y3, Z3)
+
+
+_padd_impl = _padd_xla
+_pdbl_impl = _pdbl_xla
 
 
 def pneg(p):
@@ -199,6 +230,11 @@ def scalar_mul(scalars_canon, p, num_bits: int = 254):
 
     acc0 = identity(scalars_canon.shape[:-1])
     return jax.lax.fori_loop(0, num_bits, body, acc0)
+
+
+# Auto-select the kernel backend (mirrors field_jax.auto_enable_pallas).
+if F._PALLAS_ON:
+    enable_pallas(True)
 
 
 # -- host <-> device point conversion ----------------------------------------

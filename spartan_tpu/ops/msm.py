@@ -37,8 +37,13 @@ from spartan_tpu.ops.limbs import LIMB_BITS, NUM_LIMBS
 
 fq = F.fq
 
-# Rough per-call element budget for gathered window points (tunable).
-_CHUNK_BUDGET = 1 << 22  # (#windows x #rows x N) per device call
+# Per-call element budget (#rows x N) for gathered window points. The
+# bucket scan holds ~8 live copies of [rows, N, 3, 16] u32 on device, so
+# ~200 bytes/element x budget must fit HBM alongside the base points.
+# 2^20 => ~1.6 GB of scan temporaries per call on a 16 GB chip.
+import os as _os
+
+_CHUNK_BUDGET = int(_os.environ.get("SPARTAN_TPU_MSM_BUDGET", str(1 << 20)))
 
 
 @functools.partial(jax.jit, static_argnames=("c", "num_bits"))
