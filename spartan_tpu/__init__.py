@@ -10,8 +10,61 @@ import os
 
 # Persistent XLA compilation cache: the limb kernels are cheap to compile
 # individually but numerous; caching makes repeat runs/tests near-instant.
+# Keyed per platform: the axon remote-compile helper produces CPU AOT
+# artifacts with the terminal machine's CPU features, and loading those in
+# a local CPU process SIGSEGVs ("machine feature mismatch" loader warning).
 if os.environ.get("SPARTAN_TPU_NO_COMPILE_CACHE") != "1":
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/spartan_tpu_jax_cache")
+    _plat = os.environ.get("JAX_PLATFORMS", "default").replace(",", "_") or "auto"
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          f"/tmp/spartan_tpu_jax_cache_{_plat}")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy re-exports mirroring the reference's public API surface
+    (/root/reference/src/lib.rs:38-59) without forcing jax init on import.
+    """
+    _exports = {
+        # snark.rs surface
+        "Assignment": ("spartan_tpu.snark", "Assignment"),
+        "VarsAssignment": ("spartan_tpu.snark", "VarsAssignment"),
+        "InputsAssignment": ("spartan_tpu.snark", "InputsAssignment"),
+        "Instance": ("spartan_tpu.snark", "Instance"),
+        "NIZK": ("spartan_tpu.snark", "NIZK"),
+        "NIZKGens": ("spartan_tpu.snark", "NIZKGens"),
+        "SNARK": ("spartan_tpu.snark", "SNARK"),
+        "SNARKGens": ("spartan_tpu.snark", "SNARKGens"),
+        # core protocol objects
+        "R1CSShape": ("spartan_tpu.core.r1cs", "R1CSShape"),
+        "R1CSGens": ("spartan_tpu.core.r1csproof", "R1CSGens"),
+        "R1CSProof": ("spartan_tpu.core.r1csproof", "R1CSProof"),
+        "DensePolynomial": ("spartan_tpu.core.mle", "DensePolynomial"),
+        "EqPolynomial": ("spartan_tpu.core.mle", "EqPolynomial"),
+        "MultiCommitGens": ("spartan_tpu.core.commitments", "MultiCommitGens"),
+        "GroupElem": ("spartan_tpu.core.group", "GroupElem"),
+        "SumcheckInstanceProof": ("spartan_tpu.core.sumcheck", "SumcheckInstanceProof"),
+        "ZKSumcheckInstanceProof": ("spartan_tpu.core.sumcheck", "ZKSumcheckInstanceProof"),
+        "UniPoly": ("spartan_tpu.core.unipoly", "UniPoly"),
+        "CompressedUniPoly": ("spartan_tpu.core.unipoly", "CompressedUniPoly"),
+        "PolyCommitmentGens": ("spartan_tpu.pcs.hyrax", "PolyCommitmentGens"),
+        "PolyEvalProof": ("spartan_tpu.pcs.hyrax", "PolyEvalProof"),
+        "KZGSrs": ("spartan_tpu.pcs.kzg", "KZGSrs"),
+        # utilities
+        "Transcript": ("spartan_tpu.utils.transcript", "Transcript"),
+        "RandomTape": ("spartan_tpu.utils.random_tape", "RandomTape"),
+        "ProofVerifyError": ("spartan_tpu.utils.errors", "ProofVerifyError"),
+        "R1CSError": ("spartan_tpu.utils.errors", "R1CSError"),
+        "Timer": ("spartan_tpu.utils.timer", "Timer"),
+        "SpartanConfig": ("spartan_tpu.config", "SpartanConfig"),
+        # ingestion
+        "R1CSFile": ("spartan_tpu.io.r1cs_reader", "R1CSFile"),
+        "parse_wtns": ("spartan_tpu.io.r1cs_reader", "parse_wtns"),
+    }
+    if name in _exports:
+        import importlib
+
+        mod, attr = _exports[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'spartan_tpu' has no attribute {name!r}")

@@ -55,17 +55,71 @@ def _gen_scalars_from_label(label: bytes, count: int) -> list[int]:
     return out
 
 
+_FIXED_BASE_C = 8
+_fixed_base_table = None  # device affine tuple [32 * 256] lazily built
+
+
+def _fixed_base_windows():
+    """Precomputed k * 2^(8w) * G for w in 0..31, k in 0..255.
+
+    Built once on host (~8k exact adds) and cached on device; turns
+    generator derivation into 32 gathers + a 31-deep tree reduction per
+    batch instead of a 254-round double-and-add ladder.
+    """
+    global _fixed_base_table
+    if _fixed_base_table is None:
+        pts = []
+        base = CH.GEN
+        for _w in range(32):
+            acc = None
+            for _k in range(256):
+                pts.append(acc)
+                acc = CH.add(acc, base)
+            base = CH.scalar_mul(1 << _FIXED_BASE_C, base)
+        _fixed_base_table = CJ.encode_points_affine(pts)  # [32*256]
+    return _fixed_base_table
+
+
+@jax.jit
+def _k_fixed_base_msm(table, digits):
+    """digits [N, 32] uint32 -> projective s_i*G via table gathers."""
+    tx, ty, tinf = table
+    idx = digits + (jnp.arange(32, dtype=jnp.uint32) << _FIXED_BASE_C)[None, :]
+    gx = tx[idx]      # [N, 32, 16]
+    gy = ty[idx]
+    ginf = tinf[idx]
+    proj = CJ.from_affine(gx, gy, ginf)
+    from spartan_tpu.ops.msm import reduce_points
+
+    return reduce_points(proj, axis=1)
+
+
 def points_from_scalars(scalars: list[int]):
-    """Batch-compute s_i * G on device, returned as affine device arrays."""
-    sc = jnp.asarray(ints_to_limbs([s % FR_MOD for s in scalars]))
-    gx, gy, _ = CJ.encode_points([CH.GEN] * len(scalars))
-    proj = CJ.scalar_mul(sc, (gx, gy, F.fq.one((len(scalars),))))
+    """Batch-compute s_i * G on device via windowed fixed-base lookup."""
+    from spartan_tpu.ops.msm import window_digits
+
+    table = _fixed_base_windows()
+    CHUNK = 1 << 15  # bounds the [N, 32, 16] gather transient
+    n = len(scalars)
+    parts = []
+    for start in range(0, n, CHUNK):
+        sub = scalars[start:start + CHUNK]
+        pad = CHUNK - len(sub) if n > CHUNK and len(sub) < CHUNK else 0
+        sc = jnp.asarray(ints_to_limbs([s % FR_MOD for s in sub] + [0] * pad))
+        digits = window_digits(sc, _FIXED_BASE_C, num_bits=256)  # [., 32]
+        parts.append(_k_fixed_base_msm(table, digits))
+    proj = tuple(jnp.concatenate([p[i] for p in parts], axis=0)[:n] for i in range(3))
     x, y, inf = CJ.batch_normalize(proj)
     return (x, y, inf)
 
 
 class MultiCommitGens:
-    """n Pedersen generators + blinding generator h, device-resident."""
+    """n Pedersen generators + blinding generator h, device-resident.
+
+    Derivation is deterministic in (label, n), so the affine tables are
+    cached on disk (keyed by a hash of both) — repeated runs skip the
+    fixed-base derivation entirely.
+    """
 
     def __init__(self, n: int, label: bytes | None = None, _from=None):
         self.n = n
@@ -73,10 +127,36 @@ class MultiCommitGens:
             self.G, self.h = _from
             return
         assert label is not None
-        scalars = _gen_scalars_from_label(label, n + 1)
-        pts = points_from_scalars(scalars)
+        pts = self._derive_cached(label, n)
         self.G = tuple(a[:n] for a in pts)
         self.h = tuple(a[n] for a in pts)
+
+    @staticmethod
+    def _derive_cached(label: bytes, n: int):
+        import os
+
+        import numpy as np
+
+        cache_dir = os.environ.get("SPARTAN_TPU_GENS_CACHE", "/tmp/spartan_tpu_gens")
+        key = hashlib.sha256(label + b"|" + str(n).encode()).hexdigest()[:24]
+        path = os.path.join(cache_dir, f"gens_{key}.npz")
+        try:
+            d = np.load(path)
+            return (jnp.asarray(d["x"]), jnp.asarray(d["y"]), jnp.asarray(d["inf"]))
+        except (OSError, KeyError, ValueError):
+            pass
+        scalars = _gen_scalars_from_label(label, n + 1)
+        pts = points_from_scalars(scalars)
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            tmp = f"{path}.{os.getpid()}.npz"
+            with open(tmp, "wb") as fh:
+                np.savez(fh, x=np.asarray(pts[0]), y=np.asarray(pts[1]),
+                         inf=np.asarray(pts[2]))
+            os.replace(tmp, path)
+        except OSError:
+            pass
+        return pts
 
     # -- structural ops (commitments.rs:64-114) --------------------------------
 

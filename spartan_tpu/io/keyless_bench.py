@@ -134,6 +134,8 @@ def main() -> None:
                     help="use a random satisfiable R1CS of 2^LOG2 constraints")
     ap.add_argument("--pcs", choices=("hyrax", "kzg"), default="hyrax")
     ap.add_argument("--json", action="store_true")
+    ap.add_argument("--profile", metavar="DIR",
+                    help="capture a jax profiler trace of the prove phase")
     args = ap.parse_args()
 
     if args.synthetic is not None:
@@ -142,7 +144,14 @@ def main() -> None:
         data = load_circom(args.r1cs, args.wtns)
     else:
         ap.error("provide --r1cs/--wtns or --synthetic LOG2")
-    run(*data, pcs=args.pcs, json_out=args.json)
+
+    if args.profile:
+        import jax
+
+        with jax.profiler.trace(args.profile):
+            run(*data, pcs=args.pcs, json_out=args.json)
+    else:
+        run(*data, pcs=args.pcs, json_out=args.json)
 
 
 if __name__ == "__main__":

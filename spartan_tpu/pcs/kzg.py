@@ -85,15 +85,14 @@ class KZGSrs:
 
     @staticmethod
     def setup_from_tau(max_degree: int, tau: int) -> "KZGSrs":
+        from spartan_tpu.core.commitments import points_from_scalars
+
         n = max_degree + 1
-        # tau^i scalars on host (exact), points via one batched device ladder
+        # tau^i scalars on host (exact), points via windowed fixed-base MSM
         powers = [1] * n
         for i in range(1, n):
             powers[i] = powers[i - 1] * tau % FR_MOD
-        sc = jnp.asarray(ints_to_limbs(powers))
-        gx, gy, _ = CJ.encode_points([CH.GEN] * n)
-        proj = CJ.scalar_mul(sc, (gx, gy, F.fq.one((n,))))
-        powers_g1 = CJ.batch_normalize(proj)
+        powers_g1 = points_from_scalars(powers)
         tau_g2 = PR.g2_mul(tau, PR.G2_GEN)
         return KZGSrs(powers_g1, tau_g2, PR.G2_GEN, n)
 

@@ -19,6 +19,22 @@ def serialize(obj) -> bytes:
     return bytes(out)
 
 
+def save_proof(obj, path: str) -> None:
+    """Persist a proof object (pickle; the canonical-bytes form above is for
+    sizing/transcript binding — structured deserialization is per-class)."""
+    import pickle
+
+    with open(path, "wb") as f:
+        pickle.dump(obj, f)
+
+
+def load_proof(path: str):
+    import pickle
+
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
 def size_bytes(obj) -> int:
     return len(serialize(obj))
 
