@@ -18,6 +18,15 @@ if os.environ.get("SPARTAN_TPU_NO_COMPILE_CACHE") != "1":
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           f"/tmp/spartan_tpu_jax_cache_{_plat}")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    # if jax was imported before this package, its config already captured
+    # the (possibly unset) env — apply explicitly in that case
+    import sys as _sys
+
+    if "jax" in _sys.modules:
+        _sys.modules["jax"].config.update(
+            "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+        _sys.modules["jax"].config.update(
+            "jax_persistent_cache_min_compile_time_secs", 1)
 
 __version__ = "0.1.0"
 

@@ -13,8 +13,10 @@ from dataclasses import dataclass
 
 import jax.numpy as jnp
 
+from spartan_tpu.core import hostpath as HP
 from spartan_tpu.core.group import GroupElem
 from spartan_tpu.core import mle
+from spartan_tpu.ops import curve_host as CH
 from spartan_tpu.ops import curve_jax as CJ
 from spartan_tpu.ops import field_jax as F
 from spartan_tpu.ops import msm as MSM
@@ -24,6 +26,16 @@ from spartan_tpu.utils.errors import ProofVerifyError
 from spartan_tpu.utils.math import log_2
 
 fr = F.fr
+
+
+def _msm_with_extras_host(G_host, scalars, extra_points, extra_scalars):
+    pts = list(G_host) + [p.p for p in extra_points]
+    return GroupElem(CH.msm(list(scalars) + [s % FR_MOD for s in extra_scalars], pts))
+
+
+def _fold_points_host(G_host, u: int, u_inv: int):
+    half = len(G_host) // 2
+    return [CH.msm([u_inv, u], [G_host[i], G_host[half + i]]) for i in range(half)]
 
 
 def _msm_with_extras(G_affine, scalars_mont, extra_points: list, extra_scalars: list[int]):
@@ -75,47 +87,77 @@ class BulletReductionProof:
         assert len(blinds_vec) == lg_n
         assert G_affine[0].shape[0] == n
 
-        ab = mle.decode_scalar(mle.k_dot(a_mont, b_mont))
-        Gamma = _msm_with_extras(G_affine, a_mont, [Q, H], [ab, blind])
+        host = n <= HP.HOST_MSM_N  # small-size host tail (see core/hostpath.py)
+        if host:
+            a = F.decode_fr(a_mont)
+            b = F.decode_fr(b_mont)
+            G = CJ.decode_points(CJ.from_affine(*G_affine))
+            ab = HP.dot(a, b)
+            Gamma = _msm_with_extras_host(G, a, [Q, H], [ab, blind])
+        else:
+            a, b = a_mont, b_mont
+            G = G_affine
+            ab = mle.decode_scalar(mle.k_dot(a_mont, b_mont))
+            Gamma = _msm_with_extras(G_affine, a_mont, [Q, H], [ab, blind])
         blind_Gamma = blind % FR_MOD
 
-        G = G_affine
-        a, b = a_mont, b_mont
         L_vec: list[GroupElem] = []
         R_vec: list[GroupElem] = []
 
         for i in range(lg_n):
-            half = a.shape[0] // 2
-            a_L, a_R = a[:half], a[half:]
-            b_L, b_R = b[:half], b[half:]
-            G_L = tuple(g[:half] for g in G)
-            G_R = tuple(g[half:] for g in G)
-
-            c_L = mle.decode_scalar(mle.k_dot(a_L, b_R))
-            c_R = mle.decode_scalar(mle.k_dot(a_R, b_L))
+            if not host and a.shape[0] <= HP.HOST_MSM_N:
+                host = True
+                a = F.decode_fr(a)
+                b = F.decode_fr(b)
+                G = CJ.decode_points(CJ.from_affine(*G))
+            half = (len(a) if host else a.shape[0]) // 2
             blind_L, blind_R = blinds_vec[i]
 
-            L = _msm_with_extras(G_R, a_L, [Q, H], [c_L, blind_L])
-            R = _msm_with_extras(G_L, a_R, [Q, H], [c_R, blind_R])
+            if host:
+                a_L, a_R = a[:half], a[half:]
+                b_L, b_R = b[:half], b[half:]
+                c_L = HP.dot(a_L, b_R)
+                c_R = HP.dot(a_R, b_L)
+                L = _msm_with_extras_host(G[half:], a_L, [Q, H], [c_L, blind_L])
+                R = _msm_with_extras_host(G[:half], a_R, [Q, H], [c_R, blind_R])
+            else:
+                a_L, a_R = a[:half], a[half:]
+                b_L, b_R = b[:half], b[half:]
+                G_L = tuple(g[:half] for g in G)
+                G_R = tuple(g[half:] for g in G)
+                c_L = mle.decode_scalar(mle.k_dot(a_L, b_R))
+                c_R = mle.decode_scalar(mle.k_dot(a_R, b_L))
+                L = _msm_with_extras(G_R, a_L, [Q, H], [c_L, blind_L])
+                R = _msm_with_extras(G_L, a_R, [Q, H], [c_R, blind_R])
 
             L.append_to_transcript(b"L", transcript)
             R.append_to_transcript(b"R", transcript)
             u = transcript.challenge_scalar(b"u")
             u_inv = fr_inv(u)
 
-            G = _fold_points(G, u, u_inv)
-            u_m = mle.encode_scalar(u)
-            u_inv_m = mle.encode_scalar(u_inv)
-            a = fr.add(fr.mul(u_m, a_L), fr.mul(u_inv_m, a_R))
-            b = fr.add(fr.mul(u_inv_m, b_L), fr.mul(u_m, b_R))
+            if host:
+                G = _fold_points_host(G, u, u_inv)
+                a = [(u * a_L[k] + u_inv * a_R[k]) % FR_MOD for k in range(half)]
+                b = [(u_inv * b_L[k] + u * b_R[k]) % FR_MOD for k in range(half)]
+            else:
+                G = _fold_points(G, u, u_inv)
+                u_m = mle.encode_scalar(u)
+                u_inv_m = mle.encode_scalar(u_inv)
+                a = fr.add(fr.mul(u_m, a_L), fr.mul(u_inv_m, a_R))
+                b = fr.add(fr.mul(u_inv_m, b_L), fr.mul(u_m, b_R))
             blind_Gamma = (u * u % FR_MOD * blind_L + blind_Gamma + u_inv * u_inv % FR_MOD * blind_R) % FR_MOD
 
             L_vec.append(L)
             R_vec.append(R)
 
-        a_hat = F.decode_fr(a)[0]
-        b_hat = F.decode_fr(b)[0]
-        g_hat = GroupElem(CJ.decode_points(CJ.from_affine(*G))[0])
+        if host:
+            a_hat = a[0]
+            b_hat = b[0]
+            g_hat = GroupElem(G[0])
+        else:
+            a_hat = F.decode_fr(a)[0]
+            b_hat = F.decode_fr(b)[0]
+            g_hat = GroupElem(CJ.decode_points(CJ.from_affine(*G))[0])
         return (
             BulletReductionProof(L_vec, R_vec),
             Gamma,
@@ -149,18 +191,25 @@ class BulletReductionProof:
                     acc = acc * u_inv_vec[lg_n - 1 - j] % FR_MOD
             s[i] = acc
 
-        s_dev = jnp.asarray(ints_to_limbs(s))
-        g_hat_pt = MSM.msm(G_affine, s_dev)
-        g_hat = GroupElem(CJ.decode_points(tuple(a[None] for a in g_hat_pt))[0])
-
-        s_mont = F.encode_fr(s)
-        b_hat = mle.decode_scalar(mle.k_dot(s_mont, b_vec_mont))
-
         u_sq = [u * u % FR_MOD for u in u_vec]
         u_sq_inv = [fr_inv(x) for x in u_sq]
-        LR = CJ.encode_points_affine([g.p for g in self.L_vec] + [g.p for g in self.R_vec])
-        sc = jnp.asarray(ints_to_limbs(u_sq + u_sq_inv))
-        lr_pt = MSM.msm(LR, sc)
-        lr = GroupElem(CJ.decode_points(tuple(a[None] for a in lr_pt))[0])
+        if n <= HP.HOST_MSM_N:
+            G_host = CJ.decode_points(CJ.from_affine(*G_affine))[:n]
+            g_hat = GroupElem(CH.msm(s, G_host))
+            b_hat = HP.dot(s, F.decode_fr(b_vec_mont))
+            lr = GroupElem(CH.msm(u_sq + u_sq_inv,
+                                  [g.p for g in self.L_vec] + [g.p for g in self.R_vec]))
+        else:
+            s_dev = jnp.asarray(ints_to_limbs(s))
+            g_hat_pt = MSM.msm(G_affine, s_dev)
+            g_hat = GroupElem(CJ.decode_points(tuple(a[None] for a in g_hat_pt))[0])
+
+            s_mont = F.encode_fr(s)
+            b_hat = mle.decode_scalar(mle.k_dot(s_mont, b_vec_mont))
+
+            LR = CJ.encode_points_affine([g.p for g in self.L_vec] + [g.p for g in self.R_vec])
+            sc = jnp.asarray(ints_to_limbs(u_sq + u_sq_inv))
+            lr_pt = MSM.msm(LR, sc)
+            lr = GroupElem(CJ.decode_points(tuple(a[None] for a in lr_pt))[0])
         Gamma_hat = lr.add(Gamma)
         return g_hat, Gamma_hat, b_hat

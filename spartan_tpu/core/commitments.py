@@ -166,6 +166,15 @@ class MultiCommitGens:
         return left, right
 
     def scale(self, s: int) -> "MultiCommitGens":
+        from spartan_tpu.core.hostpath import HOST_MSM_N
+
+        if self.n <= HOST_MSM_N:
+            Gs, _h = self.host_points()
+            scaled = [CH.scalar_mul(s, p) for p in Gs]
+            pts = CJ.encode_points_affine(scaled)
+            out = MultiCommitGens(self.n, _from=(pts, self.h))
+            out._host_pts = (scaled, _h)
+            return out
         sc = jnp.asarray(ints_to_limbs([s % FR_MOD] * self.n))
         proj = CJ.scalar_mul(sc, CJ.from_affine(*self.G))
         pts = CJ.batch_normalize(proj)
@@ -183,14 +192,24 @@ class MultiCommitGens:
         )
 
     def host_points(self) -> tuple[list, CH.Point]:
-        Gs = CJ.decode_points(CJ.from_affine(*self.G))
-        h = CJ.decode_points(tuple(a[None] for a in CJ.from_affine(*self.h)))[0]
-        return Gs, h
+        cached = getattr(self, "_host_pts", None)
+        if cached is None:
+            Gs = CJ.decode_points(CJ.from_affine(*self.G))
+            h = CJ.decode_points(tuple(a[None] for a in CJ.from_affine(*self.h)))[0]
+            cached = (Gs, h)
+            self._host_pts = cached
+        return cached
 
 
 def commit(values: list[int], blind: int, gens: MultiCommitGens) -> GroupElem:
     """<values, G> + blind*h as a host GroupElem (commitments.rs:118-154)."""
     assert len(values) == gens.n
+    from spartan_tpu.core.hostpath import HOST_MSM_N
+
+    if gens.n + 1 <= HOST_MSM_N:
+        Gs, h = gens.host_points()
+        return GroupElem(CH.msm([v % FR_MOD for v in values] + [blind % FR_MOD],
+                                Gs + [h]))
     sc = jnp.asarray(ints_to_limbs([v % FR_MOD for v in values] + [blind % FR_MOD]))
     pt = MSM.msm(gens.extended_points(), sc)
     return GroupElem(CJ.decode_points(tuple(a[None] for a in pt))[0])

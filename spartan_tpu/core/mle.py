@@ -19,11 +19,16 @@ import functools
 import jax
 import jax.numpy as jnp
 
+import os as _os
+
 from spartan_tpu.ops import field_jax as F
 from spartan_tpu.ops.limbs import NUM_LIMBS
 from spartan_tpu.utils.math import log_2, next_power_of_two, pow2
 
 fr = F.fr
+
+# mirrors hostpath.HOST_N without importing it at module load (cycle-free)
+_HOST_N = int(_os.environ.get("SPARTAN_TPU_HOST_N", "2048"))
 
 
 # ---------------------------------------------------------------------------
@@ -131,6 +136,10 @@ class DensePolynomial:
 
     def evaluate(self, r: list[int]) -> int:
         assert len(r) == self.num_vars
+        if self.len <= _HOST_N:
+            from spartan_tpu.core import hostpath as HP
+
+            return HP.evaluate_mle(self.to_ints(), r)
         chis = EqPolynomial(r).evals_device()
         return decode_scalar(k_dot(self.Z, chis))
 
@@ -199,6 +208,10 @@ class EqPolynomial:
     def evals_device(self):
         if not self.r:
             return fr.one((1,))
+        if (1 << len(self.r)) <= _HOST_N:
+            from spartan_tpu.core import hostpath as HP
+
+            return F.encode_fr(HP.eq_evals(self.r))
         r_dev = F.encode_fr(self.r)
         return k_eq_evals(r_dev, len(self.r))
 

@@ -268,10 +268,14 @@ class DotProductProofLog:
         blinds_vec = list(zip(v1, v2))
 
         from spartan_tpu.core.commitments import commit_device
+        from spartan_tpu.core.hostpath import HOST_MSM_N
         from spartan_tpu.ops import curve_jax as CJ
 
-        Cx_pt = commit_device(x_mont, mle.encode_scalar(blind_x), gens.gens_n)
-        Cx = GroupElem(CJ.decode_points(tuple(c[None] for c in Cx_pt))[0])
+        if n + 1 <= HOST_MSM_N:
+            Cx = commit(F.decode_fr(x_mont), blind_x, gens.gens_n)
+        else:
+            Cx_pt = commit_device(x_mont, mle.encode_scalar(blind_x), gens.gens_n)
+            Cx = GroupElem(CJ.decode_points(tuple(c[None] for c in Cx_pt))[0])
         Cx.append_to_transcript(b"Cx", transcript)
         Cy = commit_scalar(y, blind_y, gens.gens_1)
         Cy.append_to_transcript(b"Cy", transcript)

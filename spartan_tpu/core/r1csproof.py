@@ -76,16 +76,27 @@ class R1CSProof:
 
     @staticmethod
     def prove(inst: R1CSShape, vars_: list[int], input_: list[int],
-              gens: R1CSGens, transcript, random_tape):
-        """Returns (proof, rx, ry) (r1csproof.rs:241-459)."""
+              gens: R1CSGens, transcript, random_tape, mesh=None):
+        """Returns (proof, rx, ry) (r1csproof.rs:241-459).
+
+        ``mesh``: optional jax.sharding.Mesh — shards both sumcheck phases'
+        evaluation tables over the devices (sequence parallelism) with a
+        bit-identical transcript.
+        """
+        from spartan_tpu.utils.timer import Timer
+
+        timer_prove = Timer("R1CSProof::prove")
         transcript.append_protocol_name(R1CSProof.PROTOCOL)
         assert len(input_) < len(vars_)
         transcript.append_scalars(b"input", input_)
 
+        timer_commit = Timer("polycommit")
         poly_vars = DensePolynomial.from_ints(vars_)
         comm_vars, blinds_vars = commit_poly(poly_vars, gens.gens_pc, random_tape)
         comm_vars.append_to_transcript(b"poly_commitment", transcript)
+        timer_commit.stop()
 
+        timer_sc1 = Timer("prove_sc_phase_one")
         z = inst.build_z(vars_, input_)
         num_rounds_x = log_2(inst.num_cons)
         num_rounds_y = log_2(len(z))
@@ -99,8 +110,10 @@ class R1CSProof:
             ZKSumcheckInstanceProof.prove_cubic_with_additive_term(
                 0, 0, num_rounds_x, poly_tau, poly_Az, poly_Bz, poly_Cz,
                 gens.gens_sc.gens_1, gens.gens_sc.gens_4, transcript, random_tape,
+                mesh=mesh,
             )
         tau_claim, Az_claim, Bz_claim, Cz_claim = claims_phase1
+        timer_sc1.stop()
 
         Az_blind = random_tape.random_scalar(b"Az_blind")
         Bz_blind = random_tape.random_scalar(b"Bz_blind")
@@ -142,6 +155,7 @@ class R1CSProof:
         evals_ABC = k_rlc3(evals_A, evals_B, evals_C,
                            mle.encode_scalar(r_A), mle.encode_scalar(r_B), mle.encode_scalar(r_C))
 
+        timer_sc2 = Timer("prove_sc_phase_two")
         poly_z = DensePolynomial.from_ints(z)
         poly_ABC = DensePolynomial(evals_ABC)
         (sc_proof_phase2, ry, claims_phase2, blind_claim_postsc2) = \
@@ -149,15 +163,19 @@ class R1CSProof:
                 claim_phase2, blind_claim_phase2, num_rounds_y,
                 poly_z, poly_ABC,
                 gens.gens_sc.gens_1, gens.gens_sc.gens_3, transcript, random_tape,
+                mesh=mesh,
             )
+        timer_sc2.stop()
 
         # witness opening at ry[1:]
+        timer_polyeval = Timer("polyeval")
         eval_vars_at_ry = poly_vars.evaluate(ry[1:])
         blind_eval = random_tape.random_scalar(b"blind_eval")
         proof_eval_vars_at_ry, comm_vars_at_ry = PolyEvalProof.prove(
             poly_vars, blinds_vars, ry[1:], eval_vars_at_ry, blind_eval,
             gens.gens_pc, transcript, random_tape,
         )
+        timer_polyeval.stop()
 
         # final step of sumcheck #2
         blind_eval_Z_at_ry = (1 - ry[0]) * blind_eval % FR_MOD
@@ -169,6 +187,7 @@ class R1CSProof:
             claim_post_phase2, blind_claim_postsc2,
         )
 
+        timer_prove.stop()
         proof = R1CSProof(
             comm_vars=comm_vars,
             sc_proof_phase1=sc_proof_phase1,

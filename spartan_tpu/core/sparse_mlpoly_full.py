@@ -747,19 +747,33 @@ class SparseMatPolyEvalProof:
         transcript.append_protocol_name(SparseMatPolyEvalProof.PROTOCOL)
         assert len(evals) == dense.batch_size
 
+        from spartan_tpu.utils.timer import Timer
+
+        timer_eq = Timer("eq_poly_evals")
         rx_ext, ry_ext = equalize(rx, ry)
         mem_rx = EqPolynomial(rx_ext).evals_device()
         mem_ry = EqPolynomial(ry_ext).evals_device()
+        timer_eq.stop()
 
+        timer_deref = Timer("derefs_compute")
         derefs = dense.deref(mem_rx, mem_ry)
+        timer_deref.stop()
+
+        # ** the flagship MSM: 79.6% of reference prove time **
+        timer_commit = Timer("derefs_commitment")
         comm_derefs = derefs.commit(gens.gens_derefs)
         comm_derefs.append_to_transcript(b"comm_poly_row_col_ops_val", transcript)
+        timer_commit.stop()
 
         r_mem_check = transcript.challenge_vector(b"challenge_r_hash", 2)
+        timer_net = Timer("network_construction")
         net = PolyEvalNetwork(dense, derefs, mem_rx, mem_ry,
                               (r_mem_check[0], r_mem_check[1]))
+        timer_net.stop()
+        timer_proof = Timer("network_proof")
         network_proof = PolyEvalNetworkProof.prove(
             net, dense, derefs, evals, gens, transcript, random_tape)
+        timer_proof.stop()
         return SparseMatPolyEvalProof(comm_derefs, network_proof)
 
     def verify(self, comm: SparseMatPolyCommitment, rx: list[int], ry: list[int],

@@ -22,6 +22,7 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
+from spartan_tpu.core import hostpath as HP
 from spartan_tpu.core import mle
 from spartan_tpu.core.commitments import MultiCommitGens, commit, commit_scalar
 from spartan_tpu.core.group import GroupElem
@@ -145,19 +146,31 @@ class SumcheckInstanceProof:
         e = claim % FR_MOD
         r: list[int] = []
         polys: list[CompressedUniPoly] = []
+        host = None  # host-int tables once the size drops under HOST_N
         for _ in range(num_rounds):
-            e0, e2, e3 = k_cubic_prod_evals(poly_A.Z, poly_B.Z, poly_C.Z)
-            v = F.decode_fr(jnp.stack([e0, e2, e3]))
+            if host is None and poly_A.len <= HP.HOST_N:
+                host = [p.to_ints() for p in (poly_A, poly_B, poly_C)]
+            if host is not None:
+                v = HP.cubic_prod_evals(*host)
+            else:
+                e0, e2, e3 = k_cubic_prod_evals(poly_A.Z, poly_B.Z, poly_C.Z)
+                v = F.decode_fr(jnp.stack([e0, e2, e3]))
             poly = UniPoly.from_evals([v[0], (e - v[0]) % FR_MOD, v[1], v[2]])
             poly.append_to_transcript(b"poly", transcript)
             r_j = transcript.challenge_scalar(b"challenge_nextround")
             r.append(r_j)
-            r_dev = mle.encode_scalar(r_j)
-            for p in (poly_A, poly_B, poly_C):
-                p.bound_poly_var_top(r_dev)
+            if host is not None:
+                host = [HP.fold_top(t, r_j) for t in host]
+            else:
+                r_dev = mle.encode_scalar(r_j)
+                for p in (poly_A, poly_B, poly_C):
+                    p.bound_poly_var_top(r_dev)
             e = poly.evaluate(r_j)
             polys.append(poly.compress())
-        claims = [poly_A.first(), poly_B.first(), poly_C.first()]
+        if host is not None:
+            claims = [t[0] for t in host]
+        else:
+            claims = [poly_A.first(), poly_B.first(), poly_C.first()]
         return SumcheckInstanceProof(polys), r, claims
 
     @staticmethod
@@ -184,21 +197,40 @@ class SumcheckInstanceProof:
         e = claim % FR_MOD
         r: list[int] = []
         polys: list[CompressedUniPoly] = []
+        I = nP + nS
+        host = None  # (HA, HB, HC_par, HC_seq) lists-of-int-lists
+
+        def _decode_stack(S):
+            n = S.shape[1]
+            flat = F.decode_fr(S.reshape(-1, S.shape[-1]))
+            return [flat[k * n:(k + 1) * n] for k in range(S.shape[0])]
 
         for _ in range(num_rounds):
-            if nP:
-                e0p, e2p, e3p = k_cubic_prod_evals(SA[:nP], SB[:nP], SC_par[None])
-            if nS:
-                e0s, e2s, e3s = k_cubic_prod_evals(SA[nP:], SB[nP:], SCseq)
-            if nP and nS:
-                e0 = jnp.concatenate([e0p, e0s]); e2 = jnp.concatenate([e2p, e2s]); e3 = jnp.concatenate([e3p, e3s])
-            elif nP:
-                e0, e2, e3 = e0p, e2p, e3p
+            if host is None and SA.shape[1] <= HP.HOST_N:
+                host = (_decode_stack(SA), _decode_stack(SB),
+                        F.decode_fr(SC_par),
+                        _decode_stack(SCseq) if nS else [])
+            if host is not None:
+                HA, HB, HCp, HCs = host
+                ev0, ev2, ev3 = [0] * I, [0] * I, [0] * I
+                for k in range(nP):
+                    ev0[k], ev2[k], ev3[k] = HP.cubic_prod_evals(HA[k], HB[k], HCp)
+                for k in range(nS):
+                    ev0[nP + k], ev2[nP + k], ev3[nP + k] = \
+                        HP.cubic_prod_evals(HA[nP + k], HB[nP + k], HCs[k])
             else:
-                e0, e2, e3 = e0s, e2s, e3s
-            vals = F.decode_fr(jnp.concatenate([e0, e2, e3], axis=0))
-            I = nP + nS
-            ev0, ev2, ev3 = vals[:I], vals[I:2 * I], vals[2 * I:]
+                if nP:
+                    e0p, e2p, e3p = k_cubic_prod_evals(SA[:nP], SB[:nP], SC_par[None])
+                if nS:
+                    e0s, e2s, e3s = k_cubic_prod_evals(SA[nP:], SB[nP:], SCseq)
+                if nP and nS:
+                    e0 = jnp.concatenate([e0p, e0s]); e2 = jnp.concatenate([e2p, e2s]); e3 = jnp.concatenate([e3p, e3s])
+                elif nP:
+                    e0, e2, e3 = e0p, e2p, e3p
+                else:
+                    e0, e2, e3 = e0s, e2s, e3s
+                vals = F.decode_fr(jnp.concatenate([e0, e2, e3], axis=0))
+                ev0, ev2, ev3 = vals[:I], vals[I:2 * I], vals[2 * I:]
             c0 = sum(ev0[i] * coeffs[i] for i in range(I)) % FR_MOD
             c2 = sum(ev2[i] * coeffs[i] for i in range(I)) % FR_MOD
             c3 = sum(ev3[i] * coeffs[i] for i in range(I)) % FR_MOD
@@ -206,25 +238,97 @@ class SumcheckInstanceProof:
             poly.append_to_transcript(b"poly", transcript)
             r_j = transcript.challenge_scalar(b"challenge_nextround")
             r.append(r_j)
-            r_dev = mle.encode_scalar(r_j)
-            SA = k_fold_top(SA, r_dev)
-            SB = k_fold_top(SB, r_dev)
-            SC_par = k_fold_top(SC_par, r_dev)
-            if nS:
-                SCseq = k_fold_top(SCseq, r_dev)
+            if host is not None:
+                HA, HB, HCp, HCs = host
+                host = ([HP.fold_top(t, r_j) for t in HA],
+                        [HP.fold_top(t, r_j) for t in HB],
+                        HP.fold_top(HCp, r_j),
+                        [HP.fold_top(t, r_j) for t in HCs])
+            else:
+                r_dev = mle.encode_scalar(r_j)
+                SA = k_fold_top(SA, r_dev)
+                SB = k_fold_top(SB, r_dev)
+                SC_par = k_fold_top(SC_par, r_dev)
+                if nS:
+                    SCseq = k_fold_top(SCseq, r_dev)
             e = poly.evaluate(r_j)
             polys.append(poly.compress())
 
-        finals_A = F.decode_fr(SA[:, 0, :])
-        finals_B = F.decode_fr(SB[:, 0, :])
-        c_par_final = F.decode_fr(SC_par[0][None])[0]
-        claims_prod = (finals_A[:nP], finals_B[:nP], c_par_final)
-        if nS:
-            finals_C = F.decode_fr(SCseq[:, 0, :])
-            claims_dotp = (finals_A[nP:], finals_B[nP:], finals_C)
+        if host is not None:
+            HA, HB, HCp, HCs = host
+            finals_A = [t[0] for t in HA]
+            finals_B = [t[0] for t in HB]
+            c_par_final = HCp[0]
+            finals_C = [t[0] for t in HCs]
         else:
-            claims_dotp = ([], [], [])
+            finals_A = F.decode_fr(SA[:, 0, :])
+            finals_B = F.decode_fr(SB[:, 0, :])
+            c_par_final = F.decode_fr(SC_par[0][None])[0]
+            finals_C = F.decode_fr(SCseq[:, 0, :]) if nS else []
+        claims_prod = (finals_A[:nP], finals_B[:nP], c_par_final)
+        claims_dotp = (finals_A[nP:], finals_B[nP:], finals_C) if nS \
+            else ([], [], [])
         return SumcheckInstanceProof(polys), r, claims_prod, claims_dotp
+
+
+# ---------------------------------------------------------------------------
+# sharded table drivers (sequence-parallel sumcheck over a device mesh)
+# ---------------------------------------------------------------------------
+
+class _MeshTables:
+    """Holds the sumcheck evaluation tables sharded over a mesh.
+
+    Strided layout keeps top-variable folds device-local (SURVEY.md §5);
+    once the table length drops to the device count the tables are gathered
+    and the rounds continue single-device. Field sums are order-independent
+    mod p, so the transcript matches the unsharded prover bit-for-bit.
+    """
+
+    def __init__(self, mesh, tables):
+        from spartan_tpu.parallel.mesh import shard_table
+        from spartan_tpu.parallel.sumcheck_sharded import (
+            make_cubic_evals,
+            make_fold,
+            make_quad_evals,
+            to_strided,
+        )
+
+        self.mesh = mesh
+        self.D = mesh.devices.size
+        self._cubic_evals = jax.jit(make_cubic_evals(mesh))
+        self._quad_evals = jax.jit(make_quad_evals(mesh))
+        self._fold = jax.jit(make_fold(mesh))
+        self.n = tables[0].Z.shape[0]
+        assert self.n >= 2 * self.D and self.n % (2 * self.D) == 0
+        self.sharded = [shard_table(mesh, to_strided(p.Z, self.D)) for p in tables]
+        self.polys = tables  # mutated in place on gather
+
+    def active(self) -> bool:
+        return self.sharded is not None
+
+    def evals_cubic(self):
+        T, A, B, C = self.sharded
+        return self._cubic_evals(T, A, B, C)
+
+    def evals_quad(self):
+        A, B = self.sharded
+        return self._quad_evals(A, B)
+
+    def fold(self, r_dev) -> None:
+        from spartan_tpu.parallel.sumcheck_sharded import from_strided
+
+        from spartan_tpu.utils.math import log_2
+
+        self.sharded = [self._fold(t, r_dev) for t in self.sharded]
+        self.n //= 2
+        for p in self.polys:
+            p.len = self.n
+            p.num_vars = log_2(self.n)
+        if self.n < 2 * self.D:
+            # gather to a single device; callers continue with local kernels
+            for p, t in zip(self.polys, self.sharded):
+                p.Z = from_strided(t)
+            self.sharded = None
 
 
 # ---------------------------------------------------------------------------
@@ -297,8 +401,14 @@ class ZKSumcheckInstanceProof:
     @staticmethod
     def prove_cubic_with_additive_term(claim: int, blind_claim: int, num_rounds: int,
                                        poly_tau, poly_Az, poly_Bz, poly_Cz,
-                                       gens_1, gens_n, transcript, random_tape):
-        """ZK sumcheck of sum tau*(Az*Bz - Cz) (sumcheck.rs:465-649)."""
+                                       gens_1, gens_n, transcript, random_tape,
+                                       mesh=None):
+        """ZK sumcheck of sum tau*(Az*Bz - Cz) (sumcheck.rs:465-649).
+
+        With ``mesh``, the evaluation tables are sharded over the devices
+        (sequence parallelism) until they shrink below shard granularity;
+        the transcript is bit-identical to the single-device prover.
+        """
         blinds_poly = random_tape.random_vector(b"blinds_poly", num_rounds)
         blinds_evals = random_tape.random_vector(b"blinds_evals", num_rounds)
         claim_per_round = claim % FR_MOD
@@ -309,18 +419,41 @@ class ZKSumcheckInstanceProof:
         comm_evals: list[GroupElem] = []
         proofs: list[DotProductProof] = []
 
+        tables = [poly_tau, poly_Az, poly_Bz, poly_Cz]
+        mesh_tables = None
+        if mesh is not None and mesh.devices.size > 1 and \
+                poly_tau.len >= 2 * mesh.devices.size and \
+                poly_tau.len % (2 * mesh.devices.size) == 0:
+            mesh_tables = _MeshTables(mesh, tables)
+
+        host = None  # host-int tables for the small-size tail
         for j in range(num_rounds):
-            e0, e2, e3 = k_cubic_additive_evals(poly_tau.Z, poly_Az.Z, poly_Bz.Z, poly_Cz.Z)
-            v = F.decode_fr(jnp.stack([e0, e2, e3]))
+            if mesh_tables is not None and mesh_tables.active():
+                e0, e2, e3 = mesh_tables.evals_cubic()
+                v = F.decode_fr(jnp.stack([e0, e2, e3]))
+            else:
+                if host is None and poly_tau.len <= HP.HOST_N:
+                    host = [p.to_ints() for p in tables]
+                if host is not None:
+                    v = HP.cubic_additive_evals(*host)
+                else:
+                    e0, e2, e3 = k_cubic_additive_evals(
+                        poly_tau.Z, poly_Az.Z, poly_Bz.Z, poly_Cz.Z)
+                    v = F.decode_fr(jnp.stack([e0, e2, e3]))
             poly = UniPoly.from_evals([v[0], (claim_per_round - v[0]) % FR_MOD, v[1], v[2]])
             comm_poly = commit(poly.as_vec(), blinds_poly[j], gens_n)
             comm_poly.append_to_transcript(b"comm_poly", transcript)
             comm_polys.append(comm_poly)
 
             r_j = transcript.challenge_scalar(b"challenge_nextround")
-            r_dev = mle.encode_scalar(r_j)
-            for p in (poly_tau, poly_Az, poly_Bz, poly_Cz):
-                p.bound_poly_var_top(r_dev)
+            if mesh_tables is not None and mesh_tables.active():
+                mesh_tables.fold(mle.encode_scalar(r_j))
+            elif host is not None:
+                host = [HP.fold_top(t, r_j) for t in host]
+            else:
+                r_dev = mle.encode_scalar(r_j)
+                for p in tables:
+                    p.bound_poly_var_top(r_dev)
 
             blind_sc = blind_claim if j == 0 else blinds_evals[j - 1]
             proof, eval_, comm_eval = ZKSumcheckInstanceProof._round_tail(
@@ -334,7 +467,10 @@ class ZKSumcheckInstanceProof:
             r.append(r_j)
             comm_evals.append(comm_eval)
 
-        claims = [poly_tau.first(), poly_Az.first(), poly_Bz.first(), poly_Cz.first()]
+        if host is not None:
+            claims = [t[0] for t in host]
+        else:
+            claims = [poly_tau.first(), poly_Az.first(), poly_Bz.first(), poly_Cz.first()]
         return (
             ZKSumcheckInstanceProof(comm_polys, comm_evals, proofs),
             r, claims, blinds_evals[num_rounds - 1],
@@ -342,8 +478,12 @@ class ZKSumcheckInstanceProof:
 
     @staticmethod
     def prove_quad(claim: int, blind_claim: int, num_rounds: int,
-                   poly_z, poly_ABC, gens_1, gens_n, transcript, random_tape):
-        """ZK sumcheck of sum z*ABC (sumcheck.rs:657-811)."""
+                   poly_z, poly_ABC, gens_1, gens_n, transcript, random_tape,
+                   mesh=None):
+        """ZK sumcheck of sum z*ABC (sumcheck.rs:657-811).
+
+        ``mesh`` shards the tables like prove_cubic_with_additive_term.
+        """
         blinds_poly = random_tape.random_vector(b"blinds_poly", num_rounds)
         blinds_evals = random_tape.random_vector(b"blinds_evals", num_rounds)
         claim_per_round = claim % FR_MOD
@@ -354,18 +494,40 @@ class ZKSumcheckInstanceProof:
         comm_evals: list[GroupElem] = []
         proofs: list[DotProductProof] = []
 
+        tables = [poly_z, poly_ABC]
+        mesh_tables = None
+        if mesh is not None and mesh.devices.size > 1 and \
+                poly_z.len >= 2 * mesh.devices.size and \
+                poly_z.len % (2 * mesh.devices.size) == 0:
+            mesh_tables = _MeshTables(mesh, tables)
+
+        host = None
         for j in range(num_rounds):
-            e0, e2 = k_quad_evals(poly_z.Z, poly_ABC.Z)
-            v = F.decode_fr(jnp.stack([e0, e2]))
+            if mesh_tables is not None and mesh_tables.active():
+                e0, e2 = mesh_tables.evals_quad()
+                v = F.decode_fr(jnp.stack([e0, e2]))
+            else:
+                if host is None and poly_z.len <= HP.HOST_N:
+                    host = [p.to_ints() for p in tables]
+                if host is not None:
+                    v = HP.quad_evals(*host)
+                else:
+                    e0, e2 = k_quad_evals(poly_z.Z, poly_ABC.Z)
+                    v = F.decode_fr(jnp.stack([e0, e2]))
             poly = UniPoly.from_evals([v[0], (claim_per_round - v[0]) % FR_MOD, v[1]])
             comm_poly = commit(poly.as_vec(), blinds_poly[j], gens_n)
             comm_poly.append_to_transcript(b"comm_poly", transcript)
             comm_polys.append(comm_poly)
 
             r_j = transcript.challenge_scalar(b"challenge_nextround")
-            r_dev = mle.encode_scalar(r_j)
-            poly_z.bound_poly_var_top(r_dev)
-            poly_ABC.bound_poly_var_top(r_dev)
+            if mesh_tables is not None and mesh_tables.active():
+                mesh_tables.fold(mle.encode_scalar(r_j))
+            elif host is not None:
+                host = [HP.fold_top(t, r_j) for t in host]
+            else:
+                r_dev = mle.encode_scalar(r_j)
+                poly_z.bound_poly_var_top(r_dev)
+                poly_ABC.bound_poly_var_top(r_dev)
 
             blind_sc = blind_claim if j == 0 else blinds_evals[j - 1]
             proof, eval_, comm_eval = ZKSumcheckInstanceProof._round_tail(
@@ -379,7 +541,10 @@ class ZKSumcheckInstanceProof:
             r.append(r_j)
             comm_evals.append(comm_eval)
 
-        claims = [poly_z.first(), poly_ABC.first()]
+        if host is not None:
+            claims = [t[0] for t in host]
+        else:
+            claims = [poly_z.first(), poly_ABC.first()]
         return (
             ZKSumcheckInstanceProof(comm_polys, comm_evals, proofs),
             r, claims, blinds_evals[num_rounds - 1],

@@ -61,7 +61,8 @@ def _load():
     available = True
 
 
-_load()
+if os.environ.get("SPARTAN_TPU_NO_NATIVE") != "1":
+    _load()
 
 
 def keccak_f1600_bytes_native(state: bytearray) -> None:

@@ -63,24 +63,136 @@ def double(p: Point) -> Point:
     return add(p, p)
 
 
+# --- Jacobian internals: inversion-free fast path -------------------------
+# (X, Y, Z) with x = X/Z^2, y = Y/Z^3; None for identity. ~3 us per op in
+# CPython vs ~5 ms for an affine add (each affine add pays a modular
+# inversion), which makes host ladders/MSMs usable as the small-size
+# fallback that avoids per-shape device traces (see core/hostpath.py).
+
+JPoint = tuple[int, int, int] | None
+
+
+def _jdbl(p: JPoint) -> JPoint:
+    if p is None:
+        return None
+    X, Y, Z = p
+    if Y == 0:
+        return None
+    q = FQ_MOD
+    A = X * X % q
+    B = Y * Y % q
+    C = B * B % q
+    D = 2 * ((X + B) * (X + B) - A - C) % q
+    E = 3 * A % q
+    F_ = E * E % q
+    X3 = (F_ - 2 * D) % q
+    Y3 = (E * (D - X3) - 8 * C) % q
+    Z3 = 2 * Y * Z % q
+    return (X3, Y3, Z3)
+
+
+def _jadd(p: JPoint, r: JPoint) -> JPoint:
+    if p is None:
+        return r
+    if r is None:
+        return p
+    q = FQ_MOD
+    X1, Y1, Z1 = p
+    X2, Y2, Z2 = r
+    Z1Z1 = Z1 * Z1 % q
+    Z2Z2 = Z2 * Z2 % q
+    U1 = X1 * Z2Z2 % q
+    U2 = X2 * Z1Z1 % q
+    S1 = Y1 * Z2 * Z2Z2 % q
+    S2 = Y2 * Z1 * Z1Z1 % q
+    if U1 == U2:
+        if S1 != S2:
+            return None
+        return _jdbl(p)
+    H = (U2 - U1) % q
+    I = 4 * H * H % q
+    J = H * I % q
+    rr = 2 * (S2 - S1) % q
+    V = U1 * I % q
+    X3 = (rr * rr - J - 2 * V) % q
+    Y3 = (rr * (V - X3) - 2 * S1 * J) % q
+    Z3 = (Z1 + Z2) % q
+    Z3 = (Z3 * Z3 - Z1Z1 - Z2Z2) % q * H % q
+    return (X3, Y3, Z3)
+
+
+def _to_j(p: Point) -> JPoint:
+    return None if p is None else (p[0], p[1], 1)
+
+
+def _from_j(p: JPoint) -> Point:
+    if p is None or p[2] == 0:
+        return None
+    zi = fq_inv(p[2])
+    zi2 = zi * zi % FQ_MOD
+    return (p[0] * zi2 % FQ_MOD, p[1] * zi2 % FQ_MOD * zi % FQ_MOD)
+
+
+def _jneg(p: JPoint) -> JPoint:
+    return None if p is None else (p[0], (-p[1]) % FQ_MOD, p[2])
+
+
 def scalar_mul(k: int, p: Point) -> Point:
     k %= FR_MOD
-    acc: Point = None
-    base = p
+    acc: JPoint = None
+    base = _to_j(p)
     while k:
         if k & 1:
-            acc = add(acc, base)
-        base = add(base, base)
+            acc = _jadd(acc, base)
+        base = _jdbl(base)
         k >>= 1
-    return acc
+    return _from_j(acc)
 
 
 def msm(scalars: list[int], points: list[Point]) -> Point:
-    """Naive exact MSM (tests / tiny verifier-side sums)."""
-    acc: Point = None
-    for s, p in zip(scalars, points):
-        acc = add(acc, scalar_mul(s, p))
-    return acc
+    """Exact host MSM: shared-doubling interleaved window method.
+
+    One 254-double chain shared by all points + one windowed add per point
+    per window (w=4) — ~(254 dbl + n*64 add) Jacobian ops, fast enough to
+    be the small-size fallback for every commit in the protocol layers.
+    """
+    W = 4
+    TOP = (254 + W - 1) // W * W
+    tables = []
+    for p in points:
+        base = _to_j(p)
+        row = [None] * (1 << W)
+        for d in range(1, 1 << W):
+            row[d] = _jadd(row[d - 1], base)
+        tables.append(row)
+    ks = [s % FR_MOD for s in scalars]
+    acc: JPoint = None
+    for shift in range(TOP - W, -W, -W):
+        if acc is not None:
+            for _ in range(W):
+                acc = _jdbl(acc)
+        for t, k in zip(tables, ks):
+            d = (k >> shift) & ((1 << W) - 1)
+            if d:
+                acc = _jadd(acc, t[d])
+    return _from_j(acc)
+
+
+def from_uniform_bytes(uniform: bytes) -> Point:
+    """64 uniform bytes -> point, the reference's simplified hash-to-group
+    (/root/reference/src/group.rs:110-132): sha3-256 -> scalar (with a
+    "fallback"-prefixed retry on non-canonical bytes, then 1) -> scalar*G.
+    """
+    import hashlib
+
+    assert len(uniform) == 64
+    h = hashlib.sha3_256(uniform).digest()
+    v = int.from_bytes(h, "little")
+    if v >= FR_MOD:
+        h2 = hashlib.sha3_256(b"fallback" + uniform).digest()
+        v2 = int.from_bytes(h2, "little")
+        v = v2 if v2 < FR_MOD else 1
+    return scalar_mul(v, GEN)
 
 
 # ---------------------------------------------------------------------------

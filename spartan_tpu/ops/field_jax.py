@@ -284,11 +284,26 @@ def make_ops(spec: FieldSpec):
         return jnp.where(zero_mask[..., None], jnp.zeros_like(a), out)
 
     def _normalize_columns(s):
-        """Columns < 2^32 (16 of them) -> canonical residue < p."""
+        """Columns < 2^32 (16 of them) -> canonical residue < p.
+
+        Folding the 2^256-overflow c back as c * (2^256 mod p) shrinks c by
+        ~x0.055 per fold (r1/2^256), but its fixed point is ~1.06 — no fixed
+        number of folds makes the carry *provably* zero on its own.
+        Termination argument: once c <= 1, a c=1 fold leaves limbs
+        < r1 < 2^252.6, and the NEXT fold then has value
+        < 2 * 2^252.6 < 2^256, i.e. guaranteed carry 0. The column sums
+        bound the initial value by 2^14 * p (CHUNK in reduce_sum), so
+        c0 < 2^12 and c decays 2^12 -> 225 -> 14 -> 1.8 -> <=1; with the
+        closing folds, 8 folds guarantee carry 0. The 16-limb result is
+        any value < 2^256 < 5.3p, so FIVE cond-subs are required (validated
+        by tools/normalize_sim.py stress: max observed 5). The previous
+        code dropped a carry c, losing c * 2^256 in the Montgomery domain =
+        exactly c in canonical value — the 2^12-scale off-by-one bug.
+        """
         r1 = jnp.asarray(spec.r1_limbs, _U32)
 
         def fold_once(limbs, extra):
-            fold = extra[..., None] * r1  # products < 2^32
+            fold = extra[..., None] * r1  # products < 2^12 * 2^16 < 2^32
             lo = fold & LIMB_MASK
             hi = fold >> LIMB_BITS
             acc = limbs + lo
@@ -298,11 +313,12 @@ def make_ops(spec: FieldSpec):
             return out, carry + top
 
         limbs, carry = _carry_propagate(s)
-        limbs, carry = fold_once(limbs, carry)
-        limbs, carry = fold_once(limbs, carry)
-        limbs, _ = fold_once(limbs, carry)  # carry provably 0 after this
-        out = _cond_sub_p(limbs, spec)
-        return _cond_sub_p(out, spec)
+        for _ in range(8):
+            limbs, carry = fold_once(limbs, carry)
+        out = limbs
+        for _ in range(5):
+            out = _cond_sub_p(out, spec)
+        return out
 
     def reduce_sum(a, axis=0):
         """Field sum along one axis (Montgomery-domain linear)."""
@@ -422,15 +438,32 @@ def _from_mont_jit(a, field_name):
     return ops.from_mont(a)
 
 
+# Below this many elements, Montgomery conversion runs on host (python
+# bigints) instead of a per-shape jitted device kernel: the protocol's long
+# tail of tiny shapes would otherwise each pay a trace+lower+compile.
+_HOST_CONVERT_N = int(os.environ.get("SPARTAN_TPU_HOST_CONVERT_N", "4096"))
+_R256 = 1 << 256
+
+
 def encode_fr(values, spec: FieldSpec = FR) -> jnp.ndarray:
     """Python ints (canonical) -> device limbs in Montgomery form."""
     vals = [v % spec.modulus for v in values]
+    if len(vals) <= _HOST_CONVERT_N:
+        mont = [v * _R256 % spec.modulus for v in vals]
+        return jnp.asarray(ints_to_limbs(mont), dtype=_U32)
     canon = jnp.asarray(ints_to_limbs(vals), dtype=_U32)
     return _to_mont_jit(canon, spec.name)
 
 
 def decode_fr(arr, spec: FieldSpec = FR) -> list[int]:
     """Device limbs in Montgomery form -> Python ints (canonical)."""
+    arr = jnp.asarray(arr)
+    if arr.size // NUM_LIMBS <= _HOST_CONVERT_N:
+        host = np.asarray(jax.device_get(arr))
+        if host.ndim == 1:
+            host = host[None]
+        rinv = pow(_R256, -1, spec.modulus)
+        return [x * rinv % spec.modulus for x in limbs_to_ints(host)]
     canon = _from_mont_jit(jnp.asarray(arr), spec.name)
     host = np.asarray(jax.device_get(canon))
     if host.ndim == 1:

@@ -37,6 +37,24 @@ from spartan_tpu.ops.limbs import LIMB_BITS, NUM_LIMBS
 
 fq = F.fq
 
+_seq_kernel_ok = None
+
+
+def _use_seq_kernel() -> bool:
+    """Sequential Pallas bucket kernel on real TPU; scan path elsewhere."""
+    global _seq_kernel_ok
+    if _seq_kernel_ok is None:
+        import os
+
+        if os.environ.get("SPARTAN_TPU_NO_SEQ_MSM") == "1":
+            _seq_kernel_ok = False
+        else:
+            try:
+                _seq_kernel_ok = jax.default_backend() != "cpu"
+            except RuntimeError:
+                _seq_kernel_ok = False
+    return _seq_kernel_ok
+
 # Per-call element budget (#rows x N) for gathered window points. The
 # bucket scan holds ~8 live copies of [rows, N, 3, 16] u32 on device, so
 # ~200 bytes/element x budget must fit HBM alongside the base points.
@@ -216,7 +234,12 @@ def msm(points, scalars, c: int | None = None):
         if stop - start < rows_per_call:
             pad = rows_per_call - (stop - start)
             chunk = jnp.concatenate([chunk, jnp.zeros((pad, n), jnp.uint32)], axis=0)
-        parts.append(_bucket_windows(points, chunk, c))
+        if _use_seq_kernel():
+            from spartan_tpu.ops.msm_pallas import bucket_windows_seq
+
+            parts.append(bucket_windows_seq(points, chunk, c))
+        else:
+            parts.append(_bucket_windows(points, chunk, c))
         start = stop
     wx = jnp.concatenate([p[0] for p in parts], axis=0)[:total_rows]
     wy = jnp.concatenate([p[1] for p in parts], axis=0)[:total_rows]

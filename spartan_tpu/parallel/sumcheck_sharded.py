@@ -75,6 +75,62 @@ def _local_fold(T, r):
     return fr.add(lo, fr.mul(r, fr.sub(hi, lo)))
 
 
+def make_cubic_evals(mesh):
+    """jittable (T, A, B, C) -> (e0, e2, e3): round evals only (replicated).
+
+    Separate from the fold because the interactive protocol derives the
+    fold challenge from these evals via the host transcript.
+    """
+
+    def local(T, A, B, C):
+        e0, e2, e3 = _local_cubic_additive(T[0], A[0], B[0], C[0])
+        return psum_field(e0), psum_field(e2), psum_field(e3)
+
+    sharded = P(SHARD_AXIS, None, None)
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(sharded, sharded, sharded, sharded),
+        out_specs=(P(None), P(None), P(None)),
+        check_rep=False,
+    )
+
+
+def make_quad_evals(mesh):
+    """jittable (A, B) -> (e0, e2) for the phase-2 quadratic rounds."""
+
+    def local(A, B):
+        aL, aH = _halves(A[0])
+        bL, bH = _halves(B[0])
+        a2, _ = _extrapolate(aL, aH)
+        b2, _ = _extrapolate(bL, bH)
+        e0 = psum_field(fr.reduce_sum(fr.mul(aL, bL), axis=0))
+        e2 = psum_field(fr.reduce_sum(fr.mul(a2, b2), axis=0))
+        return e0, e2
+
+    sharded = P(SHARD_AXIS, None, None)
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(sharded, sharded),
+        out_specs=(P(None), P(None)),
+        check_rep=False,
+    )
+
+
+def make_fold(mesh):
+    """jittable (table, r) -> folded table, strided layout preserved."""
+
+    def local(T, r):
+        return _local_fold(T[0], r)[None]
+
+    sharded = P(SHARD_AXIS, None, None)
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(sharded, P(None)),
+        out_specs=sharded,
+        check_rep=False,
+    )
+
+
 def make_cubic_round(mesh):
     """Returns jittable fn(T, A, B, C, r) -> (e0, e2, e3, T', A', B', C').
 

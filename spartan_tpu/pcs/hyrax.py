@@ -71,6 +71,15 @@ def commit_poly(poly: DensePolynomial, gens: PolyCommitmentGens, random_tape=Non
     else:
         blinds = [0] * L_size
 
+    from spartan_tpu.core import hostpath as HP
+    from spartan_tpu.core.commitments import commit
+
+    if L_size * (R_size + 1) <= 2 * HP.HOST_MSM_N:
+        Zh = poly.to_ints()
+        C = [commit(Zh[i * R_size:(i + 1) * R_size], blinds[i], gens.gens.gens_n)
+             for i in range(L_size)]
+        return PolyCommitment(C), PolyCommitmentBlinds(blinds)
+
     Z = poly.Z.reshape(L_size, R_size, -1)
     blinds_mont = F.encode_fr(blinds)
     pts = commit_rows(Z, blinds_mont, gens.gens.gens_n)
@@ -101,8 +110,18 @@ class PolyEvalProof:
 
         eq = EqPolynomial(r)
         L_dev, R_dev = eq.compute_factored_evals()
-        LZ = poly.bound(L_dev, L_size, R_size)
-        L_host = F.decode_fr(L_dev)
+        from spartan_tpu.core import hostpath as HP
+
+        if poly.len <= HP.HOST_N:
+            L_host = HP.eq_evals(r[:left])
+            Zh = poly.to_ints()
+            LZ_host = [sum(L_host[i] * Zh[i * R_size + j] % FR_MOD
+                           for i in range(L_size)) % FR_MOD
+                       for j in range(R_size)]
+            LZ = F.encode_fr(LZ_host)
+        else:
+            LZ = poly.bound(L_dev, L_size, R_size)
+            L_host = F.decode_fr(L_dev)
         LZ_blind = sum(b * l for b, l in zip(blind_vals, L_host)) % FR_MOD
 
         proof, _Cx, C_Zr_prime = DotProductProofLog.prove(
@@ -117,11 +136,17 @@ class PolyEvalProof:
         L_dev, R_dev = eq.compute_factored_evals()
 
         # C_LZ = <L, comm.C> (one small MSM, hyrax.rs:133)
+        from spartan_tpu.core import hostpath as HP
+        from spartan_tpu.ops import curve_host as CH
+
         L_host = F.decode_fr(L_dev)
-        pts = CJ.encode_points_affine([c.p for c in comm.C])
-        sc = jnp.asarray(ints_to_limbs(L_host))
-        C_LZ_pt = MSM.msm(pts, sc)
-        C_LZ = GroupElem(CJ.decode_points(tuple(a[None] for a in C_LZ_pt))[0])
+        if len(comm.C) <= HP.HOST_MSM_N:
+            C_LZ = GroupElem(CH.msm(L_host, [c.p for c in comm.C]))
+        else:
+            pts = CJ.encode_points_affine([c.p for c in comm.C])
+            sc = jnp.asarray(ints_to_limbs(L_host))
+            C_LZ_pt = MSM.msm(pts, sc)
+            C_LZ = GroupElem(CJ.decode_points(tuple(a[None] for a in C_LZ_pt))[0])
 
         self.proof.verify(R_dev.shape[0], gens.gens, transcript, R_dev, C_LZ, C_Zr)
 

@@ -109,7 +109,7 @@ class NIZK:
     @staticmethod
     def prove(inst: Instance, vars_: Assignment, input_: Assignment,
               gens: NIZKGens, transcript: Transcript,
-              random_tape: RandomTape | None = None) -> "NIZK":
+              random_tape: RandomTape | None = None, mesh=None) -> "NIZK":
         tape = random_tape if random_tape is not None else RandomTape(b"proof")
         transcript.append_protocol_name(NIZK.PROTOCOL)
         transcript.append_message(b"R1CSShapeDigest", inst.digest)
@@ -120,7 +120,7 @@ class NIZK:
 
         proof, rx, ry = R1CSProof.prove(
             inst.inst, padded.assignment, input_.assignment,
-            gens.gens_r1cs_sat, transcript, tape,
+            gens.gens_r1cs_sat, transcript, tape, mesh=mesh,
         )
         return NIZK(proof, (rx, ry))
 
@@ -179,7 +179,7 @@ class SNARK:
     def prove(inst: Instance, comm: R1CSCommitment, decomm: R1CSDecommitment,
               vars_: Assignment, input_: Assignment, gens: SNARKGens,
               transcript: Transcript,
-              random_tape: RandomTape | None = None) -> "SNARK":
+              random_tape: RandomTape | None = None, mesh=None) -> "SNARK":
         tape = random_tape if random_tape is not None else RandomTape(b"snark_proof")
         transcript.append_protocol_name(SNARK.PROTOCOL)
         comm.append_to_transcript(b"comm", transcript)
@@ -190,7 +190,7 @@ class SNARK:
 
         r1cs_sat_proof, rx, ry = R1CSProof.prove(
             inst.inst, padded.assignment, input_.assignment,
-            gens.gens_r1cs_sat, transcript, tape,
+            gens.gens_r1cs_sat, transcript, tape, mesh=mesh,
         )
         inst_evals = inst.inst.evaluate(rx, ry)
         r1cs_eval_proof = R1CSEvalProof.prove(

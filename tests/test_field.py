@@ -71,6 +71,27 @@ def test_reduce_sum():
     assert got == sum(XS) % fh.FR_MOD
 
 
+def test_reduce_sum_large_carry_regression():
+    """Normalize-columns dropped a nonzero 2^256 carry for large-N sums,
+    decoding to an off-by-c canonical result (caught at 2^12 on TPU).
+    Max-residue inputs drive the column sums to the worst-case bound."""
+    n = 4096
+    # canonical value whose MONTGOMERY residue is p-1 (maximal limbs in the
+    # summed domain -> maximal column sums/carries)
+    worst = (fh.FR_MOD - 1) * pow(1 << 256, -1, fh.FR_MOD) % fh.FR_MOD
+    xs = [worst] * n
+    a = F.encode_fr(xs)
+    got = F.decode_fr(F.fr.reduce_sum(a)[None])[0]
+    assert got == sum(xs) % fh.FR_MOD
+
+    # randomized: many independent trials at a carry-prone size
+    rng = random.Random(99)
+    xs = [rng.randrange(fh.FR_MOD) for _ in range(4096)]
+    a = F.encode_fr(xs)
+    got = F.decode_fr(F.fr.reduce_sum(a)[None])[0]
+    assert got == sum(xs) % fh.FR_MOD
+
+
 def test_fq_ops():
     xs = [x % fh.FQ_MOD for x in XS]
     ys = [y % fh.FQ_MOD for y in YS]

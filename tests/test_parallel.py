@@ -69,6 +69,39 @@ def test_sharded_cubic_round_matches_local(mesh):
         assert F.decode_fr(from_strided(got)) == F.decode_fr(ref)
 
 
+def test_sharded_nizk_prove_bit_identical(mesh):
+    """NIZK proved over the mesh must equal the single-device proof exactly
+    (same tape seed => same blinds; field psums are exact mod p)."""
+    from spartan_tpu.core.r1cs import R1CSShape
+    from spartan_tpu.snark import Assignment, Instance, NIZK, NIZKGens
+    from spartan_tpu.utils.random_tape import RandomTape
+    from spartan_tpu.utils.serialization import serialize
+    from spartan_tpu.utils.transcript import Transcript
+
+    num_cons = num_vars = 32
+    vars_ = [random.randrange(fh.FR_MOD) for _ in range(num_vars)]
+    inputs = [random.randrange(fh.FR_MOD)]
+    z = vars_ + [1] + inputs
+    A, B, C = [], [], []
+    for i in range(num_cons):
+        ca, cb = random.randrange(len(z)), random.randrange(len(z))
+        va, vb = random.randrange(1, fh.FR_MOD), random.randrange(1, fh.FR_MOD)
+        A.append((i, ca, va))
+        B.append((i, cb, vb))
+        C.append((i, num_vars, va * z[ca] % fh.FR_MOD * vb % fh.FR_MOD * z[cb] % fh.FR_MOD))
+    inst = Instance.from_shape(R1CSShape(num_cons, num_vars, 1, A, B, C))
+    va, ia = Assignment(vars_), Assignment(inputs)
+    gens = NIZKGens(num_cons, num_vars, 1)
+
+    p1 = NIZK.prove(inst, va, ia, gens, Transcript(b"mesh_test"),
+                    RandomTape(b"proof", seed=b"\x0a" * 32))
+    p2 = NIZK.prove(inst, va, ia, gens, Transcript(b"mesh_test"),
+                    RandomTape(b"proof", seed=b"\x0a" * 32), mesh=mesh)
+    assert p1.r == p2.r
+    assert serialize(p1.r1cs_sat_proof) == serialize(p2.r1cs_sat_proof)
+    p2.verify(inst, ia, Transcript(b"mesh_test"), gens)
+
+
 def test_sharded_msm_matches_host(mesh):
     M = 32
     scalars = [random.randrange(fh.FR_MOD) for _ in range(M)]
