@@ -163,10 +163,14 @@ class ProductCircuitEvalProofBatched:
         claims_to_verify = [c.evaluate() for c in prod_circuit_vec]
         rand: list[int] = []
 
+        from spartan_tpu.utils.timer import Timer
+
         for layer_id in range(num_layers - 1, -1, -1):
             poly_C_par = DensePolynomial(EqPolynomial(rand).evals_device())
             assert poly_C_par.len == prod_circuit_vec[0].left_vec[layer_id].len
             num_rounds_prod = log_2(poly_C_par.len) if poly_C_par.len > 1 else 0
+            timer_layer = Timer(
+                f"batched_layer[n={poly_C_par.len},K={len(prod_circuit_vec)}]")
 
             poly_A_par = [c.left_vec[layer_id] for c in prod_circuit_vec]
             poly_B_par = [c.right_vec[layer_id] for c in prod_circuit_vec]
@@ -215,6 +219,7 @@ class ProductCircuitEvalProofBatched:
             ]
             rand = [r_layer] + rand_prod
             proof_layers.append(LayerProofBatched(proof, claims_prod_left, claims_prod_right))
+            timer_layer.stop()
 
         return ProductCircuitEvalProofBatched(proof_layers, claims_dotp_final), rand
 

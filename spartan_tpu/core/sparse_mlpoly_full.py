@@ -391,14 +391,20 @@ class HashLayerProof:
     @staticmethod
     def prove(rand: tuple[list[int], list[int]], dense: MultiSparseMatPolynomialAsDense,
               derefs: Derefs, gens: SparseMatPolyCommitmentGens, transcript, random_tape):
+        from spartan_tpu.utils.timer import Timer
+
         transcript.append_protocol_name(HashLayerProof.PROTOCOL)
         rand_mem, rand_ops = rand
 
+        timer_ev = Timer("hash_layer_batch_evals")
         eval_row_ops_val = batch_evaluate(derefs.row_ops_val, rand_ops)
         eval_col_ops_val = batch_evaluate(derefs.col_ops_val, rand_ops)
+        timer_ev.stop()
+        timer_derefs = Timer("derefs_eval_proof")
         proof_derefs = DerefsEvalProof.prove(
             derefs, eval_row_ops_val, eval_col_ops_val, rand_ops,
             gens.gens_derefs, transcript, random_tape)
+        timer_derefs.stop()
         eval_derefs = (eval_row_ops_val, eval_col_ops_val)
 
         # all ops-sized openings share one eq table each
@@ -421,9 +427,11 @@ class HashLayerProof:
             evals_ops, transcript, b"challenge_combine_n_to_one")
         r_joint_ops = challenges_ops + list(rand_ops)
         transcript.append_scalar(b"joint_claim_eval_ops", joint_claim_eval_ops)
+        timer_ops = Timer("comb_ops_open")
         proof_ops, _ = PolyEvalProof.prove(
             dense.comb_ops, None, r_joint_ops, joint_claim_eval_ops, None,
             gens.gens_ops, transcript, random_tape)
+        timer_ops.stop()
 
         evals_mem = [eval_row_audit_ts, eval_col_audit_ts]
         transcript.append_scalars(b"claim_evals_mem", evals_mem)
@@ -599,15 +607,21 @@ class ProductLayerProof:
             eval_dotp_right_vec.append(er)
             dotp_circuits.extend([cl, cr])
 
+        from spartan_tpu.utils.timer import Timer
+
         ops_circuits = (list(row_prod_layer.read_vec) + list(row_prod_layer.write_vec) +
                         list(col_prod_layer.read_vec) + list(col_prod_layer.write_vec))
+        timer_ops_trees = Timer("ops_product_trees")
         proof_ops, rand_ops = ProductCircuitEvalProofBatched.prove(
             ops_circuits, dotp_circuits, transcript)
+        timer_ops_trees.stop()
 
         mem_circuits = [row_prod_layer.init, row_prod_layer.audit,
                         col_prod_layer.init, col_prod_layer.audit]
+        timer_mem_trees = Timer("mem_product_trees")
         proof_mem, rand_mem = ProductCircuitEvalProofBatched.prove(
             mem_circuits, [], transcript)
+        timer_mem_trees.stop()
 
         return (
             ProductLayerProof(
@@ -691,12 +705,18 @@ class PolyEvalNetworkProof:
     def prove(network: PolyEvalNetwork, dense: MultiSparseMatPolynomialAsDense,
               derefs: Derefs, evals: list[int], gens: SparseMatPolyCommitmentGens,
               transcript, random_tape) -> "PolyEvalNetworkProof":
+        from spartan_tpu.utils.timer import Timer
+
         transcript.append_protocol_name(PolyEvalNetworkProof.PROTOCOL)
+        timer_prod = Timer("product_layer_proof")
         proof_prod_layer, rand_mem, rand_ops = ProductLayerProof.prove(
             network.row_layers.prod_layer, network.col_layers.prod_layer,
             dense, derefs, evals, transcript)
+        timer_prod.stop()
+        timer_hash = Timer("hash_layer_proof")
         proof_hash_layer = HashLayerProof.prove(
             (rand_mem, rand_ops), dense, derefs, gens, transcript, random_tape)
+        timer_hash.stop()
         return PolyEvalNetworkProof(proof_prod_layer, proof_hash_layer)
 
     def verify(self, comm: SparseMatPolyCommitment, comm_derefs: DerefsCommitment,

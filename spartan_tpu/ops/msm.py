@@ -188,6 +188,27 @@ def default_window(n: int) -> int:
     return 4
 
 
+def _choose_seq_params(n: int, batch_rows: int) -> tuple[int, int]:
+    """(c, nseg) minimizing point-add work for the sequential kernel.
+
+    Work per window-row = n (prefix walk) + 2 * 2^c * nseg (per-segment
+    weighted bucket reduction); total = W(c) * batch * that. nseg must be
+    large enough that the lane dimension (rows * W * nseg per chunk) fills
+    the 128-lane blocks, but segments shouldn't shrink below ~256 points.
+    """
+    best = None
+    for c in range(7, 14):
+        W = -(-254 // c)
+        rows_per_call = min(max(1, _CHUNK_BUDGET // n), W * batch_rows)
+        nseg = 1
+        while rows_per_call * nseg < 384 and (n // nseg) >= 512:
+            nseg *= 2
+        work = W * (n + 2 * (1 << c) * nseg)
+        if best is None or work < best[0]:
+            best = (work, c, nseg)
+    return best[1], best[2]
+
+
 @jax.jit
 def msm_ladder(points, scalars):
     """Small-N fallback: batched double-and-add ladders + tree reduction.
@@ -212,14 +233,21 @@ def msm(points, scalars, c: int | None = None):
     batch_shape = scalars.shape[:-2]
     if n <= 64:
         return msm_ladder(points, scalars)
+    B_rows = 1
+    for s in batch_shape:
+        B_rows *= s
+    nseg = 1
     if c is None:
-        c = default_window(n)
+        if _use_seq_kernel():
+            c, nseg = _choose_seq_params(n, B_rows)
+        else:
+            c = default_window(n)
+    elif _use_seq_kernel():
+        _, nseg = _choose_seq_params(n, B_rows)
 
     digits = window_digits(scalars, c)  # [..., N, W]
     W = digits.shape[-1]
-    B = 1
-    for s in batch_shape:
-        B *= s
+    B = B_rows
     # [W*B, N]: window-major so same-window rows stay adjacent
     dig = jnp.moveaxis(digits.reshape(B, n, W), -1, 0).reshape(W * B, n)
 
@@ -237,7 +265,7 @@ def msm(points, scalars, c: int | None = None):
         if _use_seq_kernel():
             from spartan_tpu.ops.msm_pallas import bucket_windows_seq
 
-            parts.append(bucket_windows_seq(points, chunk, c))
+            parts.append(bucket_windows_seq(points, chunk, c, nseg=nseg))
         else:
             parts.append(_bucket_windows(points, chunk, c))
         start = stop

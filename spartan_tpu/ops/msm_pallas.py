@@ -31,6 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os as _os
+
 from spartan_tpu.ops import field_jax as F
 from spartan_tpu.ops.limbs import NUM_LIMBS
 from spartan_tpu.ops.pallas_field import _padd_block
@@ -39,6 +41,10 @@ _U32 = jnp.uint32
 _L = NUM_LIMBS  # 16
 _BT = 128       # lanes per block (window-rows)
 _CN = 64        # points per grid step
+
+# interpret=True runs the kernels through the Pallas interpreter (any
+# backend) — used by the CPU test suite to cover this path.
+_INTERPRET = _os.environ.get("SPARTAN_TPU_PALLAS_INTERPRET") == "1"
 
 
 def _identity_tiles(T, one_col):
@@ -80,7 +86,7 @@ def _prefix_kernel(p_ref, one_ref, sd_ref, gx_ref, gy_ref, gz_ref,
         px = gx_ref[pl.ds(i, 1)][0]                      # [16, BT]
         py = gy_ref[pl.ds(i, 1)][0]
         pz = gz_ref[pl.ds(i, 1)][0]
-        ax, ay, az = _padd_block(ax, ay, az, px, py, pz, p_col, jnp.uint32(pp))
+        ax, ay, az = _padd_block(ax, ay, az, px, py, pz, p_col, jnp.uint32(pp), unroll=True)
         ox_ref[pl.ds(i, 1)] = ax[None]
         oy_ref[pl.ds(i, 1)] = ay[None]
         oz_ref[pl.ds(i, 1)] = az[None]
@@ -124,8 +130,8 @@ def _weighted_kernel(p_ref, one_ref, bx_ref, by_ref, bz_ref,
         bx = bx_ref[pl.ds(i, 1)][0]
         by = by_ref[pl.ds(i, 1)][0]
         bz = bz_ref[pl.ds(i, 1)][0]
-        rx, ry, rz = _padd_block(rx, ry, rz, bx, by, bz, p_col, jnp.uint32(pp))
-        tx, ty, tz = _padd_block(tx, ty, tz, rx, ry, rz, p_col, jnp.uint32(pp))
+        rx, ry, rz = _padd_block(rx, ry, rz, bx, by, bz, p_col, jnp.uint32(pp), unroll=True)
+        tx, ty, tz = _padd_block(tx, ty, tz, rx, ry, rz, p_col, jnp.uint32(pp), unroll=True)
         return (rx, ry, rz, tx, ty, tz)
 
     rx, ry, rz, tx, ty, tz = jax.lax.fori_loop(
@@ -144,24 +150,49 @@ def _weighted_kernel(p_ref, one_ref, bx_ref, by_ref, bz_ref,
         oz_ref[:] = totz[:]
 
 
-@functools.partial(jax.jit, static_argnames=("c",))
-def bucket_windows_seq(points, digits, c: int):
+@functools.partial(jax.jit, static_argnames=("c", "nseg"))
+def bucket_windows_seq(points, digits, c: int, nseg: int = 1):
     """Drop-in for msm._bucket_windows on TPU.
 
     points: (x [N,16], y [N,16], inf [N]) affine, shared across the batch.
     digits: [B, N] uint32. Returns projective ([B,16], [B,16], [B,16]).
+
+    ``nseg`` splits each digit row's point axis into that many independent
+    segments, each its own kernel lane — the sequential walk is only as
+    parallel as its lane count, so a single MSM (B = #windows, ~22-32
+    rows) must segment to fill the 128+ lanes of a block. Segment bucket
+    sums add 2 * 2^c * nseg extra adds per row (combined in a tiny tree
+    at the end); the driver balances that against c.
     """
     from spartan_tpu.ops.field_jax import FQ
 
     px, py, pinf = points
-    B, N = digits.shape
+    B0, N0 = digits.shape
     nbuckets = (1 << c) - 1
+
+    if nseg > 1:
+        m = -(-N0 // nseg)
+        if m * nseg != N0:
+            pad = m * nseg - N0
+            digits = jnp.concatenate(
+                [digits, jnp.zeros((B0, pad), digits.dtype)], axis=1)
+            px = jnp.concatenate([px, jnp.zeros((pad, _L), _U32)], axis=0)
+            py = jnp.concatenate([py, jnp.zeros((pad, _L), _U32)], axis=0)
+            pinf = jnp.concatenate(
+                [pinf, jnp.ones((pad,), pinf.dtype)], axis=0)
+        digits = digits.reshape(B0, nseg, m).reshape(B0 * nseg, m)
+        seg_off = ((jnp.arange(B0 * nseg, dtype=jnp.int32) % nseg) * m)[:, None]
+    else:
+        seg_off = None
+
+    B, N = digits.shape
 
     order = jnp.argsort(digits, axis=-1)
     sd = jnp.take_along_axis(digits, order, axis=-1)     # [B, N]
-    gx = px[order]                                        # [B, N, 16]
-    gy = py[order]
-    ginf = pinf[order]
+    gidx = order if seg_off is None else order + seg_off
+    gx = px[gidx]                                         # [B, N, 16]
+    gy = py[gidx]
+    ginf = pinf[gidx]
 
     dead = ginf | (sd == 0)
     fq = F.fq
@@ -219,6 +250,7 @@ def bucket_windows_seq(points, digits, c: int):
             pltpu.VMEM((_L, _BT), _U32),
             pltpu.VMEM((1, _BT), _U32),
         ],
+        interpret=_INTERPRET,
     )(p_limbs, one_col, tsd, tx, ty, tz)
     Px, Py, Pz = prefix
 
@@ -274,7 +306,13 @@ def bucket_windows_seq(points, digits, c: int):
         out_specs=(out_spec, out_spec, out_spec),
         out_shape=tuple(jax.ShapeDtypeStruct((_L, Bp), _U32) for _ in range(3)),
         scratch_shapes=[pltpu.VMEM((_L, _BT), _U32) for _ in range(6)],
+        interpret=_INTERPRET,
     )(p_limbs, one_col, wx, wy, wz)
 
     ox, oy, oz = (jnp.transpose(t, (1, 0))[:B] for t in totals)
+    if nseg > 1:
+        from spartan_tpu.ops.msm import reduce_points
+
+        seg = tuple(t.reshape(B0, nseg, _L) for t in (ox, oy, oz))
+        ox, oy, oz = reduce_points(seg, axis=1)
     return ox, oy, oz

@@ -84,8 +84,14 @@ def _sub_block(a, b, p_col):
     return _cond_sub_block(d, p_col)
 
 
-def _mont_mul_block(a, b, p_col, pp):
-    """Montgomery product a*b*R^-1 mod p on [16, T] blocks (canonical)."""
+def _mont_mul_block(a, b, p_col, pp, unroll: bool = False):
+    """Montgomery product a*b*R^-1 mod p on [16, T] blocks (canonical).
+
+    ``unroll`` replaces the two 16-step fori_loops with straight-line code:
+    at narrow tiles (T <= 256, e.g. the sequential MSM kernel's 128-lane
+    accumulator) per-iteration loop overhead dwarfs the ~32-vreg step body,
+    so unrolling is worth the larger program.
+    """
     T = a.shape[1]
     row_ge_1_W = jax.lax.broadcasted_iota(jnp.int32, (_W, T), 0) >= 1
     row_lt_top = jax.lax.broadcasted_iota(jnp.int32, (_W, T), 0) < _W - 1
@@ -109,9 +115,6 @@ def _mont_mul_block(a, b, p_col, pp):
             pltpu.roll(bw, 1, axis=0), 0)
         return (S, bw)
 
-    d, _ = jax.lax.fori_loop(
-        0, _L, prod_step, (jnp.zeros((_W, T), _U32), b))  # columns < 2^22
-
     def redc_step(_, state):
         e, carry = state
         v = e[0:1, :] + carry
@@ -123,8 +126,19 @@ def _mont_mul_block(a, b, p_col, pp):
         e_next = jnp.where(row_lt_top, pltpu.roll(e, _W - 1, axis=0), 0)
         return (e_next, new_carry)
 
-    e, carry = jax.lax.fori_loop(
-        0, _L, redc_step, (d, jnp.zeros((1, T), _U32)))
+    state = (jnp.zeros((_W, T), _U32), b)
+    if unroll:
+        for _ in range(_L):
+            state = prod_step(None, state)
+        d = state[0]  # columns < 2^22
+        state2 = (d, jnp.zeros((1, T), _U32))
+        for _ in range(_L):
+            state2 = redc_step(None, state2)
+        e, carry = state2
+    else:
+        d, _ = jax.lax.fori_loop(0, _L, prod_step, state)  # columns < 2^22
+        e, carry = jax.lax.fori_loop(
+            0, _L, redc_step, (d, jnp.zeros((1, T), _U32)))
     r = e[:_L, :]
     r = jnp.concatenate([r[0:1, :] + carry, r[1:, :]], axis=0)
     x, _ = _carry_block(r)
@@ -142,9 +156,9 @@ def _mul9_block(a, p_col):
     return _add_block(a8, a, p_col)
 
 
-def _padd_block(X1, Y1, Z1, X2, Y2, Z2, p_col, pp):
+def _padd_block(X1, Y1, Z1, X2, Y2, Z2, p_col, pp, unroll: bool = False):
     """Complete projective addition (RCB 2016 Alg 7, a=0), VMEM-resident."""
-    mul = lambda x, y: _mont_mul_block(x, y, p_col, pp)
+    mul = lambda x, y: _mont_mul_block(x, y, p_col, pp, unroll=unroll)
     add = lambda x, y: _add_block(x, y, p_col)
     sub = lambda x, y: _sub_block(x, y, p_col)
 
