@@ -17,7 +17,7 @@ if os.environ.get("SPARTAN_TPU_NO_COMPILE_CACHE") != "1":
     _plat = os.environ.get("JAX_PLATFORMS", "default").replace(",", "_") or "auto"
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           f"/tmp/spartan_tpu_jax_cache_{_plat}")
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
     # if jax was imported before this package, its config already captured
     # the (possibly unset) env — apply explicitly in that case
     import sys as _sys
@@ -26,7 +26,7 @@ if os.environ.get("SPARTAN_TPU_NO_COMPILE_CACHE") != "1":
         _sys.modules["jax"].config.update(
             "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
         _sys.modules["jax"].config.update(
-            "jax_persistent_cache_min_compile_time_secs", 1)
+            "jax_persistent_cache_min_compile_time_secs", 0)
 
 __version__ = "0.1.0"
 

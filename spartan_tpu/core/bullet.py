@@ -35,7 +35,7 @@ def _msm_with_extras_host(G_host, scalars, extra_points, extra_scalars):
 
 def _fold_points_host(G_host, u: int, u_inv: int):
     half = len(G_host) // 2
-    return [CH.msm([u_inv, u], [G_host[i], G_host[half + i]]) for i in range(half)]
+    return CH.dual_mul_many(u_inv, u, G_host[:half], G_host[half:])
 
 
 def _msm_with_extras(G_affine, scalars_mont, extra_points: list, extra_scalars: list[int]):

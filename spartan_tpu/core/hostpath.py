@@ -24,7 +24,22 @@ import os
 from spartan_tpu.ops.fields_host import FR_MOD
 
 HOST_N = int(os.environ.get("SPARTAN_TPU_HOST_N", "2048"))
-HOST_MSM_N = int(os.environ.get("SPARTAN_TPU_HOST_MSM_N", "128"))
+
+
+def _default_msm_threshold() -> int:
+    """With the native C G1 backend (spartan_tpu/native/g1_host.c) host
+    MSMs run ~60 us/point, so bullet rounds and small commits stay host up
+    to 2048; the pure-Python fallback is ~25x slower, keep 128 there."""
+    try:
+        from spartan_tpu import native as N
+
+        return 2048 if N.g1_available else 128
+    except Exception:
+        return 128
+
+
+HOST_MSM_N = int(os.environ.get("SPARTAN_TPU_HOST_MSM_N", "0")) or \
+    _default_msm_threshold()
 
 P = FR_MOD
 

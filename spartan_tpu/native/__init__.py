@@ -15,21 +15,26 @@ import subprocess
 import tempfile
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "spartan_native.c")
+_SRCS = [os.path.join(_HERE, "spartan_native.c"),
+         os.path.join(_HERE, "g1_host.c")]
 
 available = False
+g1_available = False
 _lib = None
 
 
 def _build() -> str | None:
-    with open(_SRC, "rb") as f:
-        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    h = hashlib.sha256()
+    for src in _SRCS:
+        with open(src, "rb") as f:
+            h.update(f.read())
+    digest = h.hexdigest()[:16]
     cache_dir = os.environ.get("SPARTAN_TPU_NATIVE_DIR", tempfile.gettempdir())
     so_path = os.path.join(cache_dir, f"spartan_native_{digest}.so")
     if os.path.exists(so_path):
         return so_path
     tmp = so_path + f".tmp{os.getpid()}"
-    cmd = ["cc", "-O2", "-fPIC", "-shared", "-o", tmp, _SRC]
+    cmd = ["cc", "-O2", "-fPIC", "-shared", "-o", tmp] + _SRCS
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         os.replace(tmp, so_path)
@@ -59,6 +64,25 @@ def _load():
     lib.r1cs_parse.restype = ctypes.c_int64
     _lib = lib
     available = True
+
+    global g1_available
+    try:
+        lib.g1_msm.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                               ctypes.c_char_p, ctypes.c_uint64,
+                               ctypes.c_char_p, ctypes.c_char_p]
+        lib.g1_msm.restype = None
+        lib.g1_dual_mul_many.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_uint64, ctypes.c_char_p, ctypes.c_char_p]
+        lib.g1_dual_mul_many.restype = None
+        lib.g1_scalar_mul.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint8,
+            ctypes.c_char_p, ctypes.c_char_p]
+        lib.g1_scalar_mul.restype = None
+        g1_available = True
+    except AttributeError:
+        pass
 
 
 if os.environ.get("SPARTAN_TPU_NO_NATIVE") != "1":

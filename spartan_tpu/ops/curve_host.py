@@ -137,8 +137,46 @@ def _jneg(p: JPoint) -> JPoint:
     return None if p is None else (p[0], (-p[1]) % FQ_MOD, p[2])
 
 
+# ---- native (C) fast path -------------------------------------------------
+
+def _native():
+    from spartan_tpu import native as N
+
+    return N if N.g1_available else None
+
+
+def _pack_points(points: list[Point]) -> tuple[bytes, bytes]:
+    xy = bytearray(64 * len(points))
+    inf = bytearray(len(points))
+    for i, p in enumerate(points):
+        if p is None:
+            inf[i] = 1
+        else:
+            xy[64 * i:64 * i + 32] = p[0].to_bytes(32, "little")
+            xy[64 * i + 32:64 * i + 64] = p[1].to_bytes(32, "little")
+    return bytes(xy), bytes(inf)
+
+
+def _unpack_point(xy: bytes, inf: int) -> Point:
+    if inf:
+        return None
+    return (int.from_bytes(xy[:32], "little"),
+            int.from_bytes(xy[32:64], "little"))
+
+
 def scalar_mul(k: int, p: Point) -> Point:
     k %= FR_MOD
+    n = _native()
+    if n is not None:
+        import ctypes
+
+        if p is None:
+            return None
+        xy, inf = _pack_points([p])
+        out = ctypes.create_string_buffer(64)
+        oinf = ctypes.create_string_buffer(1)
+        n._lib.g1_scalar_mul(k.to_bytes(32, "little"), xy, inf[0], out, oinf)
+        return _unpack_point(out.raw, oinf.raw[0])
     acc: JPoint = None
     base = _to_j(p)
     while k:
@@ -149,13 +187,46 @@ def scalar_mul(k: int, p: Point) -> Point:
     return _from_j(acc)
 
 
+def dual_mul_many(a: int, b: int, P: list[Point], Q: list[Point]) -> list[Point]:
+    """[a*P_i + b*Q_i for i] — the bullet generator fold, batched."""
+    n = _native()
+    if n is None:
+        return [add(scalar_mul(a, p), scalar_mul(b, q)) for p, q in zip(P, Q)]
+    import ctypes
+
+    cnt = len(P)
+    pxy, pinf = _pack_points(P)
+    qxy, qinf = _pack_points(Q)
+    out = ctypes.create_string_buffer(64 * cnt)
+    oinf = ctypes.create_string_buffer(cnt)
+    n._lib.g1_dual_mul_many(
+        (a % FR_MOD).to_bytes(32, "little"), (b % FR_MOD).to_bytes(32, "little"),
+        pxy, pinf, qxy, qinf, cnt, out, oinf)
+    return [_unpack_point(out.raw[64 * i:64 * i + 64], oinf.raw[i])
+            for i in range(cnt)]
+
+
 def msm(scalars: list[int], points: list[Point]) -> Point:
     """Exact host MSM: shared-doubling interleaved window method.
 
-    One 254-double chain shared by all points + one windowed add per point
-    per window (w=4) — ~(254 dbl + n*64 add) Jacobian ops, fast enough to
-    be the small-size fallback for every commit in the protocol layers.
+    C fast path when the native library built (spartan_tpu/native/
+    g1_host.c, ~50x the Python Jacobian path); same algorithm either way:
+    one 254-double chain shared by all points + one windowed add per point
+    per window (w=4).
     """
+    n = _native()
+    if n is not None:
+        import ctypes
+
+        cnt = len(points)
+        if cnt == 0:
+            return None
+        xy, inf = _pack_points(points)
+        sc = b"".join((s % FR_MOD).to_bytes(32, "little") for s in scalars)
+        out = ctypes.create_string_buffer(64)
+        oinf = ctypes.create_string_buffer(1)
+        n._lib.g1_msm(sc, xy, inf, cnt, out, oinf)
+        return _unpack_point(out.raw, oinf.raw[0])
     W = 4
     TOP = (254 + W - 1) // W * W
     tables = []

@@ -17,11 +17,11 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 # must land before jax reads its config at import (spartan_tpu/__init__ is
 # too late here: this conftest imports jax first)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/spartan_tpu_jax_cache_cpu")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
