@@ -41,6 +41,13 @@ def _default_msm_threshold() -> int:
 HOST_MSM_N = int(os.environ.get("SPARTAN_TPU_HOST_MSM_N", "0")) or \
     _default_msm_threshold()
 
+
+def host_commit_points() -> int:
+    """Total-point cutoff below which a row-batched commit goes to the C
+    host MSM (~60 us/point) instead of the device: small batches cost more
+    in per-shape tracing than the math."""
+    return 16384 if HOST_MSM_N >= 2048 else 512
+
 P = FR_MOD
 
 

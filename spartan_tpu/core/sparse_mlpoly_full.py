@@ -138,8 +138,11 @@ def multi_sparse_to_dense_rep(sparse_polys) -> MultiSparseMatPolynomialAsDense:
     for p in sparse_polys[1:]:
         assert p.num_vars_x == nx and p.num_vars_y == ny
 
+    from spartan_tpu.utils.timer import Timer
+
     N = max(p.get_num_nz_entries() for p in sparse_polys)
     ops_row_vec, ops_col_vec, val_vec = [], [], []
+    timer_vals = Timer(f"dense_rep_vals[N={N}]")
     for p in sparse_polys:
         n = len(p.vals)
         rows = np.zeros(N, dtype=np.int64)
@@ -150,15 +153,20 @@ def multi_sparse_to_dense_rep(sparse_polys) -> MultiSparseMatPolynomialAsDense:
         ops_row_vec.append(rows)
         ops_col_vec.append(cols)
         val_vec.append(DensePolynomial.from_ints(vals))
+    timer_vals.stop()
 
     num_mem_cells = pow2(max(nx, ny))
+    timer_ts = Timer("dense_rep_timestamps")
     row = AddrTimestamps(num_mem_cells, N, ops_row_vec)
     col = AddrTimestamps(num_mem_cells, N, ops_col_vec)
+    timer_ts.stop()
 
+    timer_merge = Timer("dense_rep_merge")
     comb_ops = DensePolynomial.merge(
         row.ops_addr + row.read_ts + col.ops_addr + col.read_ts + val_vec)
     comb_mem = row.audit_ts.clone()
     comb_mem.extend(col.audit_ts)
+    timer_merge.stop()
 
     return MultiSparseMatPolynomialAsDense(
         len(sparse_polys), row, col, val_vec, comb_ops, comb_mem)
@@ -212,9 +220,17 @@ class SparseMatPolyCommitment:
 def multi_commit(sparse_polys, gens: SparseMatPolyCommitmentGens):
     """(commitment, dense rep) — the SNARK::encode hot path
     (sparse_mlpoly_full.rs:176-197)."""
+    from spartan_tpu.utils.timer import Timer
+
+    timer_dense = Timer("multi_sparse_to_dense_rep")
     dense = multi_sparse_to_dense_rep(sparse_polys)
+    timer_dense.stop()
+    timer_ops = Timer(f"commit_comb_ops[{dense.comb_ops.len}]")
     comm_comb_ops, _ = commit_poly(dense.comb_ops, gens.gens_ops)
+    timer_ops.stop()
+    timer_mem = Timer(f"commit_comb_mem[{dense.comb_mem.len}]")
     comm_comb_mem, _ = commit_poly(dense.comb_mem, gens.gens_mem)
+    timer_mem.stop()
     return (
         SparseMatPolyCommitment(
             batch_size=len(sparse_polys),

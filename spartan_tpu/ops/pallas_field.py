@@ -242,7 +242,12 @@ def _out_specs(k):
 
 def make_field_kernels(spec, interpret: bool = False):
     """Pallas-backed (mul, add, sub) over arbitrary [..., 16] shapes."""
-    p_limbs = jnp.asarray(spec.p_limbs, _U32)
+    # numpy, NOT jnp: a device array captured by these closures becomes a
+    # jit constant whose value is pulled D2H at every lowering — observed
+    # ~40 s per pull through the axon tunnel
+    import numpy as _np
+
+    p_limbs = _np.asarray(spec.p_limbs, _np.uint32)
     pp = int(spec.p_prime)
 
     def mul_kernel(p_ref, a_ref, b_ref, o_ref):
@@ -276,7 +281,9 @@ def make_field_kernels(spec, interpret: bool = False):
 
 def make_curve_kernels(spec, interpret: bool = False):
     """Pallas-backed fused (padd, pdbl) on projective coordinate tuples."""
-    p_limbs = jnp.asarray(spec.p_limbs, _U32)
+    import numpy as _np
+
+    p_limbs = _np.asarray(spec.p_limbs, _np.uint32)  # numpy: see make_field_kernels
     pp = int(spec.p_prime)
 
     def padd_kernel(p_ref, x1, y1, z1, x2, y2, z2, ox, oy, oz):

@@ -74,7 +74,7 @@ def commit_poly(poly: DensePolynomial, gens: PolyCommitmentGens, random_tape=Non
     from spartan_tpu.core import hostpath as HP
     from spartan_tpu.core.commitments import commit
 
-    if L_size * (R_size + 1) <= 2 * HP.HOST_MSM_N:
+    if L_size * (R_size + 1) <= HP.host_commit_points():
         Zh = poly.to_ints()
         C = [commit(Zh[i * R_size:(i + 1) * R_size], blinds[i], gens.gens.gens_n)
              for i in range(L_size)]
