@@ -231,10 +231,31 @@ def commit_rows(Z_mont, blinds_mont, gens: MultiCommitGens):
 
     Z_mont: [L, R, 16] Montgomery; blinds_mont: [L, 16] Montgomery.
     Returns projective points batched [L]. This is the reference's
-    ``commit_inner`` rayon hot loop (hyrax.rs:253-267) as one batched MSM.
+    ``commit_inner`` rayon hot loop (hyrax.rs:253-267) as one batched MSM,
+    chunked over rows so the from_mont + digit-split transients stay
+    bounded (the full 4096x4097 matrix OOMed 16 GB HBM at 2^18 scale).
     """
     L, R = Z_mont.shape[0], Z_mont.shape[1]
     assert R == gens.n
-    sc = jnp.concatenate([Z_mont, blinds_mont[:, None, :]], axis=1)
-    sc_canon = F.fr.from_mont(sc)
-    return MSM.msm(gens.extended_points(), sc_canon)
+    rows_per = max(1, min(L, (1 << 21) // (R + 1)))
+    pts = gens.extended_points()
+    parts = []
+    start = 0
+    while start < L:
+        stop = min(start + rows_per, L)
+        zc = Z_mont[start:stop]
+        bc = blinds_mont[start:stop]
+        if stop - start < rows_per:  # pad to reuse one compilation
+            pad = rows_per - (stop - start)
+            zc = jnp.concatenate(
+                [zc, jnp.zeros((pad, R, NUM_LIMBS), jnp.uint32)], axis=0)
+            bc = jnp.concatenate(
+                [bc, jnp.zeros((pad, NUM_LIMBS), jnp.uint32)], axis=0)
+        sc = jnp.concatenate([zc, bc[:, None, :]], axis=1)
+        sc_canon = F.fr.from_mont(sc)
+        parts.append(MSM.msm(pts, sc_canon))
+        start = stop
+    if len(parts) == 1:
+        return tuple(a[:L] for a in parts[0])
+    return tuple(
+        jnp.concatenate([p[i] for p in parts], axis=0)[:L] for i in range(3))

@@ -34,6 +34,12 @@ class GroupElem:
     def decompress(data: bytes) -> "GroupElem":
         return GroupElem(CH.decompress(data))
 
+    @staticmethod
+    def from_uniform_bytes(uniform: bytes) -> "GroupElem":
+        """64 uniform bytes -> point, reproducing the reference's simplified
+        hash-to-group (group.rs:110-132) byte-for-byte."""
+        return GroupElem(CH.from_uniform_bytes(uniform))
+
     def append_to_transcript(self, label: bytes, transcript) -> None:
         # GroupElement appends its compressed serialization
         # (transcript.rs:102-109); identical bytes to CompressedGroup appends.

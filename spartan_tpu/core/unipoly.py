@@ -55,6 +55,12 @@ class UniPoly:
             acc = (acc * r + c) % FR_MOD
         return acc
 
+    def commit(self, blind: int, gens) -> "object":
+        """Pedersen commit to the coefficient vector (unipoly.rs:89-97)."""
+        from spartan_tpu.core.commitments import commit as _commit
+
+        return _commit(self.coeffs, blind, gens)
+
     def compress(self) -> "CompressedUniPoly":
         return CompressedUniPoly([self.coeffs[0]] + self.coeffs[2:])
 

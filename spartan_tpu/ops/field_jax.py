@@ -439,9 +439,13 @@ def _from_mont_jit(a, field_name):
 
 
 # Below this many elements, Montgomery conversion runs on host (python
-# bigints) instead of a per-shape jitted device kernel: the protocol's long
-# tail of tiny shapes would otherwise each pay a trace+lower+compile.
-_HOST_CONVERT_N = int(os.environ.get("SPARTAN_TPU_HOST_CONVERT_N", "4096"))
+# bigints, ~0.4 us/element) instead of a per-shape jitted device kernel.
+# Host-by-default up to 2^22: the device path pays trace+compile per shape
+# and its small jit dispatches were observed to intermittently stall for
+# minutes on the tunneled backend, while host conversion of even the
+# largest protocol tables (keyless vals, 2^22) is ~2 s.
+_HOST_CONVERT_N = int(os.environ.get("SPARTAN_TPU_HOST_CONVERT_N",
+                                     str(1 << 22)))
 _R256 = 1 << 256
 
 
