@@ -182,12 +182,21 @@ class DensePolynomial:
 
 
 def batch_evaluate(polys: list["DensePolynomial"], r: list[int]) -> list[int]:
-    """Evaluate several equal-length MLEs at one point, sharing the eq table."""
+    """Evaluate several equal-length MLEs at one point, sharing the eq table.
+
+    Stacks only small tables; large ones are reduced per-poly so the
+    [K, N, 16] stack + product transient (8+ GB at 2^20 scale) never
+    materializes.
+    """
     if not polys:
         return []
     chis = EqPolynomial(r).evals_device()
-    A = jnp.stack([p.Z for p in polys], axis=0)
-    return F.decode_fr(k_dot_batched(A, chis))
+    n = polys[0].len
+    if len(polys) * n <= (1 << 22):
+        A = jnp.stack([p.Z for p in polys], axis=0)
+        return F.decode_fr(k_dot_batched(A, chis))
+    outs = [k_dot(p.Z, chis) for p in polys]
+    return F.decode_fr(jnp.stack(outs, axis=0))
 
 
 class EqPolynomial:

@@ -33,24 +33,63 @@ def _k_mul(a, b):
 
 
 class ProductCircuit:
-    """Binary product tree by left/right layer tables (product_tree.rs:15-65)."""
+    """Binary product tree by left/right layer tables (product_tree.rs:15-65).
 
-    def __init__(self, poly: DensePolynomial):
-        half = poly.len // 2
-        left = poly.Z[:half]
-        right = poly.Z[half: 2 * half]
-        self.left_vec = [DensePolynomial(left)]
-        self.right_vec = [DensePolynomial(right)]
-        num_layers = log_2(poly.len)
-        for i in range(num_layers - 1):
-            prod = _k_mul(self.left_vec[i].Z, self.right_vec[i].Z)
+    Memory-lean variant: with ``leaf_fn`` the big lower layers are NOT
+    retained — layers with tables <= ``checkpoint_max`` are checkpointed
+    during the single construction pass, and a larger layer is recomputed
+    from a fresh leaf table on demand (one extra O(N) multiply pass per
+    request). Materializing all 12+ full trees at 2^20 scale costs ~7 GB
+    and OOMs the 16 GB chip; the layered sumcheck asks for each layer
+    exactly once, top-down, so recomputation adds O(N log N)/tree total.
+    """
+
+    CHECKPOINT_MAX = 1 << 16
+
+    def __init__(self, poly: DensePolynomial | None = None, *, leaf_fn=None,
+                 checkpoint_max: int | None = None):
+        cp_max = checkpoint_max if checkpoint_max is not None \
+            else ProductCircuit.CHECKPOINT_MAX
+        if poly is not None:
+            Z = poly.Z
+            self._leaf_fn = None  # eager: keep every layer
+        else:
+            Z = leaf_fn()
+            self._leaf_fn = leaf_fn
+        n = Z.shape[0]
+        self.num_layers = log_2(n)
+        self._cp: dict[int, tuple] = {}
+        half = n // 2
+        left, right = Z[:half], Z[half: 2 * half]
+        for i in range(self.num_layers):
+            if self._leaf_fn is None or 2 * left.shape[0] <= cp_max:
+                self._cp[i] = (left, right)
+            if i + 1 < self.num_layers:
+                prod = _k_mul(left, right)
+                q = prod.shape[0] // 2
+                left, right = prod[:q], prod[q:]
+
+    def layer(self, i: int) -> tuple[DensePolynomial, DensePolynomial]:
+        """(left, right) tables of layer ``i`` (0 = leaves)."""
+        if i in self._cp:
+            l, r = self._cp[i]
+            return DensePolynomial(l), DensePolynomial(r)
+        Z = self._leaf_fn()
+        half = Z.shape[0] // 2
+        left, right = Z[:half], Z[half: 2 * half]
+        for _ in range(i):
+            prod = _k_mul(left, right)
             q = prod.shape[0] // 2
-            self.left_vec.append(DensePolynomial(prod[:q]))
-            self.right_vec.append(DensePolynomial(prod[q:]))
+            left, right = prod[:q], prod[q:]
+        return DensePolynomial(left), DensePolynomial(right)
+
+    def layer_len(self, i: int) -> int:
+        return 1 << (self.num_layers - 1 - i)
 
     def evaluate(self) -> int:
-        assert self.left_vec[-1].len == 1 and self.right_vec[-1].len == 1
-        out = _k_mul(self.left_vec[-1].Z, self.right_vec[-1].Z)
+        l, r = self.layer(self.num_layers - 1)
+        assert l.len == 1 and r.len == 1
+        out = _k_mul(l.Z, r.Z)
         return F.decode_fr(out)[0]
 
 
@@ -94,16 +133,16 @@ class ProductCircuitEvalProof:
     def prove(circuit: ProductCircuit, transcript):
         """Returns (proof, claim, rand)."""
         proof: list[LayerProof] = []
-        num_layers = len(circuit.left_vec)
+        num_layers = circuit.num_layers
         claim = circuit.evaluate()
         rand: list[int] = []
         for layer_id in range(num_layers - 1, -1, -1):
             poly_C = DensePolynomial(EqPolynomial(rand).evals_device())
-            assert poly_C.len == circuit.left_vec[layer_id].len
+            assert poly_C.len == circuit.layer_len(layer_id)
             num_rounds_prod = log_2(poly_C.len) if poly_C.len > 1 else 0
+            layer_L, layer_R = circuit.layer(layer_id)
             proof_prod, rand_prod, claims_prod = SumcheckInstanceProof.prove_cubic(
-                claim, num_rounds_prod,
-                circuit.left_vec[layer_id].clone(), circuit.right_vec[layer_id].clone(),
+                claim, num_rounds_prod, layer_L, layer_R,
                 poly_C, transcript)
             transcript.append_scalar(b"claim_prod_left", claims_prod[0])
             transcript.append_scalar(b"claim_prod_right", claims_prod[1])
@@ -159,7 +198,7 @@ class ProductCircuitEvalProofBatched:
         assert prod_circuit_vec
         claims_dotp_final = ([], [], [])
         proof_layers: list[LayerProofBatched] = []
-        num_layers = len(prod_circuit_vec[0].left_vec)
+        num_layers = prod_circuit_vec[0].num_layers
         claims_to_verify = [c.evaluate() for c in prod_circuit_vec]
         rand: list[int] = []
 
@@ -167,13 +206,14 @@ class ProductCircuitEvalProofBatched:
 
         for layer_id in range(num_layers - 1, -1, -1):
             poly_C_par = DensePolynomial(EqPolynomial(rand).evals_device())
-            assert poly_C_par.len == prod_circuit_vec[0].left_vec[layer_id].len
+            assert poly_C_par.len == prod_circuit_vec[0].layer_len(layer_id)
             num_rounds_prod = log_2(poly_C_par.len) if poly_C_par.len > 1 else 0
             timer_layer = Timer(
                 f"batched_layer[n={poly_C_par.len},K={len(prod_circuit_vec)}]")
 
-            poly_A_par = [c.left_vec[layer_id] for c in prod_circuit_vec]
-            poly_B_par = [c.right_vec[layer_id] for c in prod_circuit_vec]
+            layers = [c.layer(layer_id) for c in prod_circuit_vec]
+            poly_A_par = [lr[0] for lr in layers]
+            poly_B_par = [lr[1] for lr in layers]
 
             poly_A_seq: list[DensePolynomial] = []
             poly_B_seq: list[DensePolynomial] = []

@@ -100,10 +100,35 @@ class AddrTimestamps:
 
         self.read_ts_usize = read_ts_list
         self.audit_ts_usize = base
-        self.ops_addr = [DensePolynomial.from_usize(a) for a in self.ops_addr_usize]
-        self.read_ts = [DensePolynomial.from_usize(t) for t in read_ts_list]
-        self.audit_ts = DensePolynomial.from_usize(base)
         self._addr_dev = [jnp.asarray(a, dtype=jnp.int32) for a in self.ops_addr_usize]
+        # device limb-form polynomials are derived data (lazily built from
+        # the usize arrays, ~64B/element) — releasable between phases so a
+        # 2^20-scale prove fits in 16 GB HBM
+        self._poly_cache: dict = {}
+
+    @property
+    def ops_addr(self) -> list[DensePolynomial]:
+        if "addr" not in self._poly_cache:
+            self._poly_cache["addr"] = [
+                DensePolynomial.from_usize(a) for a in self.ops_addr_usize]
+        return self._poly_cache["addr"]
+
+    @property
+    def read_ts(self) -> list[DensePolynomial]:
+        if "read" not in self._poly_cache:
+            self._poly_cache["read"] = [
+                DensePolynomial.from_usize(t) for t in self.read_ts_usize]
+        return self._poly_cache["read"]
+
+    @property
+    def audit_ts(self) -> DensePolynomial:
+        if "audit" not in self._poly_cache:
+            self._poly_cache["audit"] = DensePolynomial.from_usize(self.audit_ts_usize)
+        return self._poly_cache["audit"]
+
+    def release_device(self) -> None:
+        """Drop the cached limb-form tables (rebuilt on next access)."""
+        self._poly_cache.clear()
 
     def deref(self, mem_val_dev) -> list[DensePolynomial]:
         """Gather mem[addr] per instance (sparse_mlpoly_full.rs:245-257)."""
@@ -118,13 +143,34 @@ class MultiSparseMatPolynomialAsDense:
     """row/col AddrTimestamps + vals + the two combined commitment polys
     (sparse_mlpoly_full.rs:264-280)."""
 
-    def __init__(self, batch_size, row, col, val, comb_ops, comb_mem):
+    def __init__(self, batch_size, row, col, val):
         self.batch_size = batch_size
         self.row = row
         self.col = col
         self.val = val
-        self.comb_ops = comb_ops
-        self.comb_mem = comb_mem
+        self._comb_cache: dict = {}
+
+    @property
+    def comb_ops(self) -> DensePolynomial:
+        if "ops" not in self._comb_cache:
+            self._comb_cache["ops"] = DensePolynomial.merge(
+                self.row.ops_addr + self.row.read_ts +
+                self.col.ops_addr + self.col.read_ts + self.val)
+        return self._comb_cache["ops"]
+
+    @property
+    def comb_mem(self) -> DensePolynomial:
+        if "mem" not in self._comb_cache:
+            cm = self.row.audit_ts.clone()
+            cm.extend(self.col.audit_ts)
+            self._comb_cache["mem"] = cm
+        return self._comb_cache["mem"]
+
+    def release_device(self) -> None:
+        """Drop combined + addr/ts device tables (lazily rebuilt)."""
+        self._comb_cache.clear()
+        self.row.release_device()
+        self.col.release_device()
 
     def deref(self, row_mem_dev, col_mem_dev) -> "Derefs":
         return Derefs(self.row.deref(row_mem_dev), self.col.deref(col_mem_dev))
@@ -161,15 +207,7 @@ def multi_sparse_to_dense_rep(sparse_polys) -> MultiSparseMatPolynomialAsDense:
     col = AddrTimestamps(num_mem_cells, N, ops_col_vec)
     timer_ts.stop()
 
-    timer_merge = Timer("dense_rep_merge")
-    comb_ops = DensePolynomial.merge(
-        row.ops_addr + row.read_ts + col.ops_addr + col.read_ts + val_vec)
-    comb_mem = row.audit_ts.clone()
-    comb_mem.extend(col.audit_ts)
-    timer_merge.stop()
-
-    return MultiSparseMatPolynomialAsDense(
-        len(sparse_polys), row, col, val_vec, comb_ops, comb_mem)
+    return MultiSparseMatPolynomialAsDense(len(sparse_polys), row, col, val_vec)
 
 
 class SparseMatPolyCommitmentGens:
@@ -231,6 +269,7 @@ def multi_commit(sparse_polys, gens: SparseMatPolyCommitmentGens):
     timer_mem = Timer(f"commit_comb_mem[{dense.comb_mem.len}]")
     comm_comb_mem, _ = commit_poly(dense.comb_mem, gens.gens_mem)
     timer_mem.stop()
+    dense.release_device()  # rebuilt lazily at prove time
     return (
         SparseMatPolyCommitment(
             batch_size=len(sparse_polys),
@@ -252,7 +291,16 @@ class Derefs:
         assert len(row_ops_val) == len(col_ops_val)
         self.row_ops_val = row_ops_val
         self.col_ops_val = col_ops_val
-        self.comb = DensePolynomial.merge(row_ops_val + col_ops_val)
+        self._comb = None
+
+    @property
+    def comb(self) -> DensePolynomial:
+        if self._comb is None:
+            self._comb = DensePolynomial.merge(self.row_ops_val + self.col_ops_val)
+        return self._comb
+
+    def release_comb(self) -> None:
+        self._comb = None
 
     def commit(self, gens) -> "DerefsCommitment":
         if isinstance(gens, PolyCommitmentGens):
@@ -356,29 +404,48 @@ class Layers:
         gam = F.encode_fr([r_multiset_check])[0]
 
         num_mem_cells = eval_table_dev.shape[0]
+        num_ops = addr_timestamps.num_ops
         ident = F.encode_small_uints(np.arange(num_mem_cells, dtype=np.uint64))
-        zero_ts = fr.zeros((num_mem_cells,))
-        poly_init_hashed = DensePolynomial(
-            k_hash_layer(ident, eval_table_dev, zero_ts, rh, rh2, gam))
-        audit_ts_dev = addr_timestamps.audit_ts.Z
-        poly_audit_hashed = DensePolynomial(
-            k_hash_layer(ident, eval_table_dev, audit_ts_dev, rh, rh2, gam))
-
         one = fr.one(())
-        read_hashed, write_hashed = [], []
+
+        # big tables: pass LEAF GENERATOR closures so the product trees only
+        # checkpoint their small upper layers (see ProductCircuit); the hash
+        # leaves are regenerated per requested layer from inputs that stay
+        # live anyway (addr/ts tables, deref values)
+        lazy_ops = num_ops > ProductCircuit.CHECKPOINT_MAX
+        lazy_mem = num_mem_cells > ProductCircuit.CHECKPOINT_MAX
+
+        def init_leaves():
+            zero_ts = fr.zeros((num_mem_cells,))
+            return k_hash_layer(ident, eval_table_dev, zero_ts, rh, rh2, gam)
+
+        def audit_leaves():
+            return k_hash_layer(ident, eval_table_dev,
+                                addr_timestamps.audit_ts.Z, rh, rh2, gam)
+
+        def circuit(fn, lazy):
+            if lazy:
+                return ProductCircuit(leaf_fn=fn)
+            return ProductCircuit(DensePolynomial(fn()))
+
+        read_vec, write_vec = [], []
         for addrs, derefs_p, read_ts in zip(
                 addr_timestamps.ops_addr, poly_ops_val, addr_timestamps.read_ts):
-            read_hashed.append(DensePolynomial(
-                k_hash_layer(addrs.Z, derefs_p.Z, read_ts.Z, rh, rh2, gam)))
-            write_ts = fr.add(read_ts.Z, jnp.broadcast_to(one, read_ts.Z.shape))
-            write_hashed.append(DensePolynomial(
-                k_hash_layer(addrs.Z, derefs_p.Z, write_ts, rh, rh2, gam)))
+            def read_leaves(a=addrs, d=derefs_p, t=read_ts):
+                return k_hash_layer(a.Z, d.Z, t.Z, rh, rh2, gam)
+
+            def write_leaves(a=addrs, d=derefs_p, t=read_ts):
+                wts = fr.add(t.Z, jnp.broadcast_to(one, t.Z.shape))
+                return k_hash_layer(a.Z, d.Z, wts, rh, rh2, gam)
+
+            read_vec.append(circuit(read_leaves, lazy_ops))
+            write_vec.append(circuit(write_leaves, lazy_ops))
 
         self.prod_layer = ProductLayer(
-            init=ProductCircuit(poly_init_hashed),
-            read_vec=[ProductCircuit(p) for p in read_hashed],
-            write_vec=[ProductCircuit(p) for p in write_hashed],
-            audit=ProductCircuit(poly_audit_hashed),
+            init=circuit(init_leaves, lazy_mem),
+            read_vec=read_vec,
+            write_vec=write_vec,
+            audit=circuit(audit_leaves, lazy_mem),
         )
 
 
@@ -800,6 +867,7 @@ class SparseMatPolyEvalProof:
         comm_derefs = derefs.commit(gens.gens_derefs)
         comm_derefs.append_to_transcript(b"comm_poly_row_col_ops_val", transcript)
         timer_commit.stop()
+        derefs.release_comb()  # rebuilt for the hash-layer opening
 
         r_mem_check = transcript.challenge_vector(b"challenge_r_hash", 2)
         timer_net = Timer("network_construction")
@@ -810,6 +878,7 @@ class SparseMatPolyEvalProof:
         network_proof = PolyEvalNetworkProof.prove(
             net, dense, derefs, evals, gens, transcript, random_tape)
         timer_proof.stop()
+        dense.release_device()
         return SparseMatPolyEvalProof(comm_derefs, network_proof)
 
     def verify(self, comm: SparseMatPolyCommitment, rx: list[int], ry: list[int],

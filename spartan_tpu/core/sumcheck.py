@@ -187,29 +187,28 @@ class SumcheckInstanceProof:
         A_par, B_par, C_par = poly_vec_par
         A_seq, B_seq, C_seq = poly_vec_seq
         nP, nS = len(A_par), len(A_seq)
+        I = nP + nS
 
-        SA = jnp.stack([p.Z for p in A_par] + [p.Z for p in A_seq], axis=0)
-        SB = jnp.stack([p.Z for p in B_par] + [p.Z for p in B_seq], axis=0)
-        if nS:
-            SCseq = jnp.stack([p.Z for p in C_seq], axis=0)
-        SC_par = C_par.Z
+        # per-instance arrays, NOT a [K, n] stack: at the leaf layer of a
+        # 2^20-scale lookup argument the stacks alone are ~6 GB and OOM the
+        # chip. Folds rebind fresh arrays so callers' tables are never
+        # mutated (the dotp inputs are the live deref tables).
+        TA = [p.Z for p in A_par] + [p.Z for p in A_seq]
+        TB = [p.Z for p in B_par] + [p.Z for p in B_seq]
+        TC = [p.Z for p in C_seq]
+        Cp = C_par.Z
 
         e = claim % FR_MOD
         r: list[int] = []
         polys: list[CompressedUniPoly] = []
-        I = nP + nS
         host = None  # (HA, HB, HC_par, HC_seq) lists-of-int-lists
 
-        def _decode_stack(S):
-            n = S.shape[1]
-            flat = F.decode_fr(S.reshape(-1, S.shape[-1]))
-            return [flat[k * n:(k + 1) * n] for k in range(S.shape[0])]
-
         for _ in range(num_rounds):
-            if host is None and SA.shape[1] <= HP.HOST_N:
-                host = (_decode_stack(SA), _decode_stack(SB),
-                        F.decode_fr(SC_par),
-                        _decode_stack(SCseq) if nS else [])
+            if host is None and TA[0].shape[0] <= HP.HOST_N:
+                host = ([F.decode_fr(t) for t in TA],
+                        [F.decode_fr(t) for t in TB],
+                        F.decode_fr(Cp),
+                        [F.decode_fr(t) for t in TC])
             if host is not None:
                 HA, HB, HCp, HCs = host
                 ev0, ev2, ev3 = [0] * I, [0] * I, [0] * I
@@ -219,18 +218,15 @@ class SumcheckInstanceProof:
                     ev0[nP + k], ev2[nP + k], ev3[nP + k] = \
                         HP.cubic_prod_evals(HA[nP + k], HB[nP + k], HCs[k])
             else:
-                if nP:
-                    e0p, e2p, e3p = k_cubic_prod_evals(SA[:nP], SB[:nP], SC_par[None])
-                if nS:
-                    e0s, e2s, e3s = k_cubic_prod_evals(SA[nP:], SB[nP:], SCseq)
-                if nP and nS:
-                    e0 = jnp.concatenate([e0p, e0s]); e2 = jnp.concatenate([e2p, e2s]); e3 = jnp.concatenate([e3p, e3s])
-                elif nP:
-                    e0, e2, e3 = e0p, e2p, e3p
-                else:
-                    e0, e2, e3 = e0s, e2s, e3s
-                vals = F.decode_fr(jnp.concatenate([e0, e2, e3], axis=0))
-                ev0, ev2, ev3 = vals[:I], vals[I:2 * I], vals[2 * I:]
+                triples = []
+                for k in range(I):
+                    Ck = Cp if k < nP else TC[k - nP]
+                    triples.append(k_cubic_prod_evals(TA[k], TB[k], Ck))
+                flat = jnp.stack([t[j] for t in triples for j in range(3)], axis=0)
+                vals = F.decode_fr(flat)
+                ev0 = vals[0::3]
+                ev2 = vals[1::3]
+                ev3 = vals[2::3]
             c0 = sum(ev0[i] * coeffs[i] for i in range(I)) % FR_MOD
             c2 = sum(ev2[i] * coeffs[i] for i in range(I)) % FR_MOD
             c3 = sum(ev3[i] * coeffs[i] for i in range(I)) % FR_MOD
@@ -246,11 +242,10 @@ class SumcheckInstanceProof:
                         [HP.fold_top(t, r_j) for t in HCs])
             else:
                 r_dev = mle.encode_scalar(r_j)
-                SA = k_fold_top(SA, r_dev)
-                SB = k_fold_top(SB, r_dev)
-                SC_par = k_fold_top(SC_par, r_dev)
-                if nS:
-                    SCseq = k_fold_top(SCseq, r_dev)
+                TA = [k_fold_top(t, r_dev) for t in TA]
+                TB = [k_fold_top(t, r_dev) for t in TB]
+                Cp = k_fold_top(Cp, r_dev)
+                TC = [k_fold_top(t, r_dev) for t in TC]
             e = poly.evaluate(r_j)
             polys.append(poly.compress())
 
@@ -261,10 +256,11 @@ class SumcheckInstanceProof:
             c_par_final = HCp[0]
             finals_C = [t[0] for t in HCs]
         else:
-            finals_A = F.decode_fr(SA[:, 0, :])
-            finals_B = F.decode_fr(SB[:, 0, :])
-            c_par_final = F.decode_fr(SC_par[0][None])[0]
-            finals_C = F.decode_fr(SCseq[:, 0, :]) if nS else []
+            finals_A = F.decode_fr(jnp.stack([t[0] for t in TA], axis=0))
+            finals_B = F.decode_fr(jnp.stack([t[0] for t in TB], axis=0))
+            c_par_final = F.decode_fr(Cp[0][None])[0]
+            finals_C = F.decode_fr(jnp.stack([t[0] for t in TC], axis=0)) \
+                if nS else []
         claims_prod = (finals_A[:nP], finals_B[:nP], c_par_final)
         claims_dotp = (finals_A[nP:], finals_B[nP:], finals_C) if nS \
             else ([], [], [])

@@ -80,9 +80,21 @@ def _load():
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint8,
             ctypes.c_char_p, ctypes.c_char_p]
         lib.g1_scalar_mul.restype = None
+        lib.fr_batch_mont.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint64, ctypes.c_int, ctypes.c_char_p]
+        lib.fr_batch_mont.restype = None
         g1_available = True
     except AttributeError:
         pass
+
+
+def fr_batch_mont(data: bytes, n: int, to_mont: bool) -> bytes:
+    """n 32-byte LE Fr values: canonical<->Montgomery batch conversion."""
+    import ctypes
+
+    out = ctypes.create_string_buffer(32 * n)
+    _lib.fr_batch_mont(data, n, 1 if to_mont else 0, out)
+    return out.raw
 
 
 if os.environ.get("SPARTAN_TPU_NO_NATIVE") != "1":

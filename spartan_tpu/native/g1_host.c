@@ -378,6 +378,75 @@ EXPORT void g1_dual_mul_many(const uint8_t *a_scalar, const uint8_t *b_scalar,
     }
 }
 
+/* ---- scalar-field (Fr) batch Montgomery conversion -------------------- */
+/* BN254 scalar field r; R = 2^256. Used by the host encode/decode path:
+ * values cross the boundary as 32-byte LE canonical, device arrays hold
+ * vR mod r. */
+
+static const u64 RP[4] = {0x43e1f593f0000001ULL, 0x2833e84879b97091ULL,
+                          0xb85045b68181585dULL, 0x30644e72e131a029ULL};
+static const u64 RNINV = 0xc2e1f593efffffffULL;
+static const u64 RR2[4] = {0x1bb8e645ae216da7ULL, 0x53fe3ab1e35c59e3ULL,
+                           0x8c49833d53bb8085ULL, 0x0216d0b17f4e44a5ULL};
+
+static inline int geq_rp(const u64 a[4]) {
+    for (int i = 3; i >= 0; i--) {
+        if (a[i] > RP[i]) return 1;
+        if (a[i] < RP[i]) return 0;
+    }
+    return 1;
+}
+
+static inline void sub_rp(u64 a[4]) {
+    u128 bw = 0;
+    for (int i = 0; i < 4; i++) {
+        u128 t = (u128)a[i] - RP[i] - bw;
+        a[i] = (u64)t;
+        bw = (t >> 64) & 1;
+    }
+}
+
+static void fr_mul_(u64 r[4], const u64 a[4], const u64 b[4]) {
+    u64 t[6] = {0, 0, 0, 0, 0, 0};
+    for (int i = 0; i < 4; i++) {
+        u128 c = 0;
+        for (int j = 0; j < 4; j++) {
+            c += (u128)t[j] + (u128)a[i] * b[j];
+            t[j] = (u64)c;
+            c >>= 64;
+        }
+        c += t[4];
+        t[4] = (u64)c;
+        t[5] = (u64)(c >> 64);
+        u64 m = t[0] * RNINV;
+        c = (u128)t[0] + (u128)m * RP[0];
+        c >>= 64;
+        for (int j = 1; j < 4; j++) {
+            c += (u128)t[j] + (u128)m * RP[j];
+            t[j - 1] = (u64)c;
+            c >>= 64;
+        }
+        c += t[4];
+        t[3] = (u64)c;
+        t[4] = t[5] + (u64)(c >> 64);
+        t[5] = 0;
+    }
+    if (t[4] || geq_rp(t)) sub_rp(t);
+    memcpy(r, t, 32);
+}
+
+/* in/out: n 32-byte LE values. dir != 0: canonical -> Montgomery (x * R),
+ * dir == 0: Montgomery -> canonical (x * R^-1 via mul by 1). */
+EXPORT void fr_batch_mont(const uint8_t *in, u64 n, int dir, uint8_t *out) {
+    u64 one[4] = {1, 0, 0, 0};
+    for (u64 i = 0; i < n; i++) {
+        u64 v[4], o[4];
+        memcpy(v, in + 32 * i, 32);
+        fr_mul_(o, v, dir ? RR2 : one);
+        memcpy(out + 32 * i, o, 32);
+    }
+}
+
 /* single scalar multiple: out = k * P */
 EXPORT void g1_scalar_mul(const uint8_t *k_scalar, const uint8_t *p_xy,
                           uint8_t p_inf, uint8_t *out_xy, uint8_t *out_inf) {

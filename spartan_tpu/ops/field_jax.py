@@ -247,11 +247,13 @@ def make_ops(spec: FieldSpec):
         return jnp.broadcast_to(one, (*batch_shape, NUM_LIMBS))
 
     def to_mont(a):
-        return mul(a, jnp.asarray(spec.r2_limbs, _U32))
+        # through ops.mul so enable_pallas() rebinding applies (the XLA
+        # mul's [.., 32]-column intermediates OOM on multi-GB arrays)
+        return ops.mul(a, jnp.asarray(spec.r2_limbs, _U32))
 
     def from_mont(a):
         one = jnp.zeros((NUM_LIMBS,), _U32).at[0].set(1)
-        return mul(a, one)
+        return ops.mul(a, one)
 
     def inv(a):
         """Fermat inverse of Montgomery-form input (0 -> 0). Batched."""
@@ -260,8 +262,8 @@ def make_ops(spec: FieldSpec):
 
         def body(i, acc):
             bit = bits[nbits - 1 - i]
-            acc = sqr(acc)
-            return jnp.where(bit == 1, mul(acc, a), acc)
+            acc = ops.sqr(acc)
+            return jnp.where(bit == 1, ops.mul(acc, a), acc)
 
         acc0 = ones_mont(a.shape[:-1])
         out = jax.lax.fori_loop(0, nbits, body, acc0)
@@ -274,13 +276,13 @@ def make_ops(spec: FieldSpec):
         zero_mask = is_zero(a)
         safe = jnp.where(zero_mask[..., None], ones_mont(a.shape[:-1]), a)
         unit = jnp.asarray(spec.r1_limbs, _U32)
-        pre = inclusive_scan(mul, safe, unit)
-        suf = inclusive_scan(mul, safe, unit, reverse=True)
+        pre = inclusive_scan(ops.mul, safe, unit)
+        suf = inclusive_scan(ops.mul, safe, unit, reverse=True)
         total_inv = inv(pre[-1])
         n = a.shape[0]
         left = jnp.concatenate([ones_mont((1, *a.shape[1:-1])), pre[: n - 1]], axis=0)
         right = jnp.concatenate([suf[1:], ones_mont((1, *a.shape[1:-1]))], axis=0)
-        out = mul(mul(left, right), total_inv)
+        out = ops.mul(ops.mul(left, right), total_inv)
         return jnp.where(zero_mask[..., None], jnp.zeros_like(a), out)
 
     def _normalize_columns(s):
@@ -449,10 +451,27 @@ _HOST_CONVERT_N = int(os.environ.get("SPARTAN_TPU_HOST_CONVERT_N",
 _R256 = 1 << 256
 
 
+def _native_fr_mont():
+    if os.environ.get("SPARTAN_TPU_NO_NATIVE_CONVERT") == "1":
+        return None
+    try:
+        from spartan_tpu import native as N
+
+        return N if N.g1_available else None
+    except Exception:
+        return None
+
+
 def encode_fr(values, spec: FieldSpec = FR) -> jnp.ndarray:
     """Python ints (canonical) -> device limbs in Montgomery form."""
     vals = [v % spec.modulus for v in values]
     if len(vals) <= _HOST_CONVERT_N:
+        N = _native_fr_mont() if spec is FR else None
+        if N is not None and vals:
+            buf = b"".join(v.to_bytes(32, "little") for v in vals)
+            mont_raw = N.fr_batch_mont(buf, len(vals), True)
+            u16 = np.frombuffer(mont_raw, dtype="<u2").reshape(len(vals), NUM_LIMBS)
+            return jnp.asarray(u16.astype(np.uint32))
         mont = [v * _R256 % spec.modulus for v in vals]
         return jnp.asarray(ints_to_limbs(mont), dtype=_U32)
     canon = jnp.asarray(ints_to_limbs(vals), dtype=_U32)
@@ -462,10 +481,18 @@ def encode_fr(values, spec: FieldSpec = FR) -> jnp.ndarray:
 def decode_fr(arr, spec: FieldSpec = FR) -> list[int]:
     """Device limbs in Montgomery form -> Python ints (canonical)."""
     arr = jnp.asarray(arr)
-    if arr.size // NUM_LIMBS <= _HOST_CONVERT_N:
+    count = arr.size // NUM_LIMBS
+    if count <= _HOST_CONVERT_N:
         host = np.asarray(jax.device_get(arr))
         if host.ndim == 1:
             host = host[None]
+        N = _native_fr_mont() if spec is FR else None
+        if N is not None and count:
+            raw = np.ascontiguousarray(
+                host.reshape(count, NUM_LIMBS).astype("<u2")).tobytes()
+            canon_raw = N.fr_batch_mont(raw, count, False)
+            return [int.from_bytes(canon_raw[32 * i:32 * i + 32], "little")
+                    for i in range(count)]
         rinv = pow(_R256, -1, spec.modulus)
         return [x * rinv % spec.modulus for x in limbs_to_ints(host)]
     canon = _from_mont_jit(jnp.asarray(arr), spec.name)
