@@ -149,8 +149,21 @@ class DensePolynomial:
         return k_dot(self.Z, chis)
 
     def bound(self, L_dev, L_size: int, R_size: int):
-        """L*Z matrix product, returns [R,16] device array."""
-        return k_bound_matrix(self.Z, L_dev, L_size, R_size)
+        """L*Z matrix product, returns [R,16] device array.
+
+        Chunked over the L axis when the [L, R, 16] product transient
+        would be GB-scale (the 8192x8192 comb_ops opening at 2^20)."""
+        if L_size * R_size <= (1 << 24):
+            return k_bound_matrix(self.Z, L_dev, L_size, R_size)
+        rows_per = max(1, (1 << 24) // R_size)
+        acc = None
+        for start in range(0, L_size, rows_per):
+            stop = min(start + rows_per, L_size)
+            part = k_bound_matrix(
+                self.Z[start * R_size: stop * R_size],
+                L_dev[start:stop], stop - start, R_size)
+            acc = part if acc is None else fr.add(acc, part)
+        return acc
 
     def extend(self, other: "DensePolynomial") -> None:
         assert other.len == self.len

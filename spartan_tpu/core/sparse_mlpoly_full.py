@@ -130,6 +130,13 @@ class AddrTimestamps:
         """Drop the cached limb-form tables (rebuilt on next access)."""
         self._poly_cache.clear()
 
+    def fresh_addr_polys(self) -> list[DensePolynomial]:
+        """Uncached limb tables (callers drop them; cache stays empty)."""
+        return [DensePolynomial.from_usize(a) for a in self.ops_addr_usize]
+
+    def fresh_read_polys(self) -> list[DensePolynomial]:
+        return [DensePolynomial.from_usize(t) for t in self.read_ts_usize]
+
     def deref(self, mem_val_dev) -> list[DensePolynomial]:
         """Gather mem[addr] per instance (sparse_mlpoly_full.rs:245-257)."""
         return [DensePolynomial(k_gather(mem_val_dev, a)) for a in self._addr_dev]
@@ -153,9 +160,13 @@ class MultiSparseMatPolynomialAsDense:
     @property
     def comb_ops(self) -> DensePolynomial:
         if "ops" not in self._comb_cache:
+            # UNCACHED pieces: at 2^20 scale the merge transient is ~8.6 GB
+            # on its own; leaving 3.2 GB of addr/ts caches behind too would
+            # not fit alongside the opening that follows
             self._comb_cache["ops"] = DensePolynomial.merge(
-                self.row.ops_addr + self.row.read_ts +
-                self.col.ops_addr + self.col.read_ts + self.val)
+                self.row.fresh_addr_polys() + self.row.fresh_read_polys() +
+                self.col.fresh_addr_polys() + self.col.fresh_read_polys() +
+                self.val)
         return self._comb_cache["ops"]
 
     @property
@@ -488,6 +499,7 @@ class HashLayerProof:
             derefs, eval_row_ops_val, eval_col_ops_val, rand_ops,
             gens.gens_derefs, transcript, random_tape)
         timer_derefs.stop()
+        derefs.release_comb()
         eval_derefs = (eval_row_ops_val, eval_col_ops_val)
 
         # all ops-sized openings share one eq table each
@@ -510,11 +522,20 @@ class HashLayerProof:
             evals_ops, transcript, b"challenge_combine_n_to_one")
         r_joint_ops = challenges_ops + list(rand_ops)
         transcript.append_scalar(b"joint_claim_eval_ops", joint_claim_eval_ops)
+        # the openings rebuild comb_ops (~8.6 GB merge transient at 2^20) —
+        # drop the addr/ts caches used by the batched evals above first
+        dense.row.release_device()
+        dense.col.release_device()
         timer_ops = Timer("comb_ops_open")
         proof_ops, _ = PolyEvalProof.prove(
             dense.comb_ops, None, r_joint_ops, joint_claim_eval_ops, None,
             gens.gens_ops, transcript, random_tape)
         timer_ops.stop()
+
+        # everything after this opens the combined polys; drop the cached
+        # addr/ts tables first (the comb_ops rebuild is ~8.6 GB transient)
+        dense.row.release_device()
+        dense.col.release_device()
 
         evals_mem = [eval_row_audit_ts, eval_col_audit_ts]
         transcript.append_scalars(b"claim_evals_mem", evals_mem)
