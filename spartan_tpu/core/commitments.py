@@ -121,32 +121,53 @@ class MultiCommitGens:
     fixed-base derivation entirely.
     """
 
-    def __init__(self, n: int, label: bytes | None = None, _from=None):
+    def __init__(self, n: int, label: bytes | None = None, _from=None,
+                 secure: bool = False):
+        """``secure=True`` derives generators by x-coordinate rejection
+        sampling (curve_host.from_uniform_bytes_secure) so no dlog is known
+        and the commitments are binding; the default reproduces the
+        reference's simplified scalar*G hash-to-group byte-for-byte
+        (group.rs:110-132) — INSECURE as a commitment (anyone can recompute
+        the generator dlogs from the label) but required for cross-library
+        transcript parity."""
         self.n = n
         if _from is not None:
             self.G, self.h = _from
             return
         assert label is not None
-        pts = self._derive_cached(label, n)
+        pts = self._derive_cached(label, n, secure)
         self.G = tuple(a[:n] for a in pts)
         self.h = tuple(a[n] for a in pts)
 
     @staticmethod
-    def _derive_cached(label: bytes, n: int):
+    def _derive_secure(label: bytes, count: int):
+        shake = hashlib.shake_256()
+        shake.update(label)
+        shake.update(CH.compress(CH.GEN))
+        stream = shake.digest(64 * count)
+        return [CH.from_uniform_bytes_secure(stream[64 * i: 64 * i + 64])
+                for i in range(count)]
+
+    @staticmethod
+    def _derive_cached(label: bytes, n: int, secure: bool = False):
         import os
 
         import numpy as np
 
         cache_dir = os.environ.get("SPARTAN_TPU_GENS_CACHE", "/tmp/spartan_tpu_gens")
-        key = hashlib.sha256(label + b"|" + str(n).encode()).hexdigest()[:24]
+        mode = b"secure|" if secure else b""
+        key = hashlib.sha256(mode + label + b"|" + str(n).encode()).hexdigest()[:24]
         path = os.path.join(cache_dir, f"gens_{key}.npz")
         try:
             d = np.load(path)
             return (jnp.asarray(d["x"]), jnp.asarray(d["y"]), jnp.asarray(d["inf"]))
         except (OSError, KeyError, ValueError):
             pass
-        scalars = _gen_scalars_from_label(label, n + 1)
-        pts = points_from_scalars(scalars)
+        if secure:
+            pts = CJ.encode_points_affine(MultiCommitGens._derive_secure(label, n + 1))
+        else:
+            scalars = _gen_scalars_from_label(label, n + 1)
+            pts = points_from_scalars(scalars)
         try:
             os.makedirs(cache_dir, exist_ok=True)
             tmp = f"{path}.{os.getpid()}.npz"

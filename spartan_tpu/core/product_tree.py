@@ -191,6 +191,8 @@ class ProductCircuitEvalProofBatched:
     proof: list[LayerProofBatched]
     claims_dotp: tuple  # (left, right, weight) final dotp claims
 
+    SCHEMA = {"claims_dotp": ("tuple", ("vec", "int"), ("vec", "int"), ("vec", "int"))}
+
     @staticmethod
     def prove(prod_circuit_vec: list[ProductCircuit],
               dotp_circuit_vec: list[DotProductCircuit], transcript):
@@ -316,7 +318,17 @@ class ProductCircuitEvalProofBatched:
                     ) % FR_MOD
 
             if claim_expected != claim_last % FR_MOD:
-                raise ProofVerifyError(f"product tree: claim mismatch at layer {i}")
+                from spartan_tpu.utils.errors import fmt_claims
+
+                raise ProofVerifyError(
+                    f"product tree: claim mismatch at layer {i} "
+                    f"({len(claims_prod_vec)} prod instances"
+                    f"{', +dotp leaf layer' if i == num_layers - 1 else ''}): "
+                    + fmt_claims(expected=claim_expected,
+                                 got=claim_last % FR_MOD,
+                                 claims_left=claims_prod_left,
+                                 claims_right=claims_prod_right,
+                                 coeffs=coeff_vec))
 
             r_layer = transcript.challenge_scalar(b"challenge_r_layer")
             claims_to_verify = [

@@ -8,7 +8,6 @@ in spartan_tpu.core.sparse_mlpoly_full once the lookup argument lands.
 
 from __future__ import annotations
 
-import hashlib
 
 import jax.numpy as jnp
 
@@ -55,25 +54,39 @@ class R1CSShape:
     def get_num_inputs(self) -> int:
         return self.num_inputs
 
-    def get_digest(self) -> bytes:
-        """Deterministic digest binding the shape (r1cs.rs:97-101 analog).
-
-        The reference digest is zlib(bincode(shape)); ours is sha256 over a
-        canonical byte serialization. Any collision-resistant deterministic
-        binding works — proofs are self-consistent, not byte-identical to
-        the Rust crate's (whose proofs embed OsRng blinds anyway).
-        """
-        h = hashlib.sha256()
-        h.update(b"spartan_tpu.R1CSShape")
+    def bincode_bytes(self) -> bytes:
+        """bincode-1.x legacy encoding of the shape, byte-identical to the
+        reference's ``bincode::serialize_into(&self)`` (r1cs.rs:98-99):
+        fixed-width little-endian u64 for usize, u64 length prefixes for
+        Vec, Scalar as its 32-byte LE serde form (scalar.rs:179-183), field
+        order = struct order (num_cons, num_vars, num_inputs, A, B, C; each
+        SparseMatPolynomial = num_vars_x, num_vars_y, M)."""
+        out = bytearray()
         for v in (self.num_cons, self.num_vars, self.num_inputs):
-            h.update(v.to_bytes(8, "little"))
+            out += v.to_bytes(8, "little")
         for mat in (self.A, self.B, self.C):
-            h.update(len(mat.vals).to_bytes(8, "little"))
-            h.update(mat.rows.astype("<i8").tobytes())
-            h.update(mat.cols.astype("<i8").tobytes())
-            for v in mat.vals:
-                h.update(fr_to_bytes(v))
-        return h.digest()
+            out += mat.num_vars_x.to_bytes(8, "little")
+            out += mat.num_vars_y.to_bytes(8, "little")
+            out += len(mat.vals).to_bytes(8, "little")
+            for r, c, v in zip(mat.rows.tolist(), mat.cols.tolist(), mat.vals):
+                out += int(r).to_bytes(8, "little")
+                out += int(c).to_bytes(8, "little")
+                out += fr_to_bytes(v)
+        return bytes(out)
+
+    def get_digest(self) -> bytes:
+        """zlib(bincode(shape)), the reference's digest (r1cs.rs:97-101).
+
+        The bincode layer is byte-identical (tested against hand-derived
+        vectors in tests/test_reference_vectors.py). The zlib layer uses
+        Python's zlib at flate2's default level 6; byte parity with the
+        Rust crate holds when flate2 runs its zlib backend — its
+        miniz_oxide backend can emit a different (equally valid) stream
+        for the same input, which would shift every transcript challenge.
+        That residual risk is confined to this one message."""
+        import zlib
+
+        return zlib.compress(self.bincode_bytes(), 6)
 
     def build_z(self, vars_: list[int], inputs: list[int]) -> list[int]:
         """z = (vars, 1, inputs, 0-padding) to length 2*num_vars."""
@@ -162,6 +175,14 @@ class R1CSCommitment:
     def serialize_fields(self):
         return [self.num_cons, self.num_vars, self.num_inputs, self.comm]
 
+    @staticmethod
+    def _comm_spec(_ctx):
+        from spartan_tpu.core.sparse_mlpoly_full import SparseMatPolyCommitment
+
+        return SparseMatPolyCommitment
+
+    DESER_SPECS = ["int", "int", "int", _comm_spec]
+
 
 class R1CSDecommitment:
     """Prover-side dense representation (r1cs.rs:365-370)."""
@@ -178,6 +199,14 @@ class R1CSEvalProof:
 
     def serialize_fields(self):
         return [self.proof]
+
+    @staticmethod
+    def _proof_spec(_ctx):
+        from spartan_tpu.core.sparse_mlpoly_full import SparseMatPolyEvalProof
+
+        return SparseMatPolyEvalProof
+
+    DESER_SPECS = [_proof_spec]
 
     @staticmethod
     def prove(decomm: R1CSDecommitment, rx: list[int], ry: list[int],

@@ -72,6 +72,11 @@ class R1CSProof:
     proof_eval_vars_at_ry: PolyEvalProof
     proof_eq_sc_phase2: EqualityProof
 
+    SCHEMA = {
+        "claims_phase2": ("tuple", GroupElem, GroupElem, GroupElem, GroupElem),
+        "pok_claims_phase2": ("tuple", KnowledgeProof, ProductProof),
+    }
+
     PROTOCOL = b"R1CS proof"
 
     @staticmethod

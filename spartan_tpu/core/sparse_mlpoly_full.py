@@ -321,9 +321,27 @@ class Derefs:
         return DerefsCommitment(comm)
 
 
+def _derefs_comm_spec(ctx):
+    if ctx.get("pcs", "hyrax") == "hyrax":
+        return PolyCommitment
+    from spartan_tpu.pcs.kzg import KZGPolyCommitment
+
+    return KZGPolyCommitment
+
+
+def _derefs_proof_spec(ctx):
+    if ctx.get("pcs", "hyrax") == "hyrax":
+        return PolyEvalProof
+    from spartan_tpu.pcs.kzg import KZGPolyEvalProof
+
+    return KZGPolyEvalProof
+
+
 @dataclass
 class DerefsCommitment:
     comm_ops_val: object  # PolyCommitment (Hyrax) or KZGPolyCommitment
+
+    SCHEMA = {"comm_ops_val": _derefs_comm_spec}
 
     def append_to_transcript(self, label: bytes, transcript) -> None:
         transcript.append_message(b"derefs_commitment", b"begin_derefs_commitment")
@@ -349,12 +367,23 @@ class DerefsEvalProof:
 
     proof_derefs: object  # PolyEvalProof or KZG proof object
 
+    SCHEMA = {"proof_derefs": _derefs_proof_spec}
+
     PROTOCOL = b"Derefs evaluation proof"
+    PROTOCOL_KZG = b"Derefs evaluation proof (KZG)"
+
+    @staticmethod
+    def _protocol_name(gens) -> bytes:
+        """Hyrax and KZG modes bind distinct protocol names
+        (sparse_mlpoly_full.rs:371 vs :500)."""
+        return (DerefsEvalProof.PROTOCOL
+                if isinstance(gens, PolyCommitmentGens)
+                else DerefsEvalProof.PROTOCOL_KZG)
 
     @staticmethod
     def prove(derefs: Derefs, eval_row_ops_val: list[int], eval_col_ops_val: list[int],
               r: list[int], gens, transcript, random_tape) -> "DerefsEvalProof":
-        transcript.append_protocol_name(DerefsEvalProof.PROTOCOL)
+        transcript.append_protocol_name(DerefsEvalProof._protocol_name(gens))
         evals = list(eval_row_ops_val) + list(eval_col_ops_val)
         evals += [0] * (next_power_of_two(len(evals)) - len(evals))
 
@@ -374,7 +403,7 @@ class DerefsEvalProof:
 
     def verify(self, r: list[int], eval_row_ops_val: list[int], eval_col_ops_val: list[int],
                gens, comm: DerefsCommitment, transcript) -> None:
-        transcript.append_protocol_name(DerefsEvalProof.PROTOCOL)
+        transcript.append_protocol_name(DerefsEvalProof._protocol_name(gens))
         evals = list(eval_row_ops_val) + list(eval_col_ops_val)
         evals += [0] * (next_power_of_two(len(evals)) - len(evals))
 
@@ -480,6 +509,13 @@ class HashLayerProof:
     proof_mem: PolyEvalProof
     proof_derefs: DerefsEvalProof
 
+    _VI = ("vec", "int")
+    SCHEMA = {
+        "eval_row": ("tuple", _VI, _VI, "int"),
+        "eval_col": ("tuple", _VI, _VI, "int"),
+        "eval_derefs": ("tuple", _VI, _VI),
+    }
+
     PROTOCOL = b"Sparse polynomial hash layer proof"
 
     @staticmethod
@@ -532,11 +568,6 @@ class HashLayerProof:
             gens.gens_ops, transcript, random_tape)
         timer_ops.stop()
 
-        # everything after this opens the combined polys; drop the cached
-        # addr/ts tables first (the comb_ops rebuild is ~8.6 GB transient)
-        dense.row.release_device()
-        dense.col.release_device()
-
         evals_mem = [eval_row_audit_ts, eval_col_audit_ts]
         transcript.append_scalars(b"claim_evals_mem", evals_mem)
         challenges_mem, joint_claim_eval_mem = _n_to_one_reduction(
@@ -571,18 +602,33 @@ class HashLayerProof:
 
         eval_init_addr = IdentityPolynomial(len(rand_mem)).evaluate(rand_mem)
         eval_init_val = EqPolynomial(r).evaluate(rand_mem)
-        if claim_init != (hash_func(eval_init_addr, eval_init_val, 0) - r_multiset_check) % FR_MOD:
-            raise ProofVerifyError("hash layer: init claim mismatch")
-        if claim_audit != (hash_func(eval_init_addr, eval_init_val, eval_audit_ts) - r_multiset_check) % FR_MOD:
-            raise ProofVerifyError("hash layer: audit claim mismatch")
+        from spartan_tpu.utils.errors import fmt_claims
+
+        h_init = (hash_func(eval_init_addr, eval_init_val, 0) - r_multiset_check) % FR_MOD
+        if claim_init != h_init:
+            raise ProofVerifyError(
+                "hash layer: init claim mismatch: " + fmt_claims(
+                    expected=h_init, got=claim_init,
+                    init_addr=eval_init_addr, init_val=eval_init_val))
+        h_audit = (hash_func(eval_init_addr, eval_init_val, eval_audit_ts) - r_multiset_check) % FR_MOD
+        if claim_audit != h_audit:
+            raise ProofVerifyError(
+                "hash layer: audit claim mismatch: " + fmt_claims(
+                    expected=h_audit, got=claim_audit, audit_ts=eval_audit_ts))
         for i in range(len(eval_ops_val)):
             hr = (hash_func(eval_ops_addr[i], eval_ops_val[i], eval_read_ts[i]) - r_multiset_check) % FR_MOD
             if claim_read[i] != hr:
-                raise ProofVerifyError(f"hash layer: read claim {i} mismatch")
+                raise ProofVerifyError(
+                    f"hash layer: read claim {i} mismatch: " + fmt_claims(
+                        expected=hr, got=claim_read[i], addr=eval_ops_addr[i],
+                        val=eval_ops_val[i], read_ts=eval_read_ts[i]))
             hw = (hash_func(eval_ops_addr[i], eval_ops_val[i], (eval_read_ts[i] + 1) % FR_MOD)
                   - r_multiset_check) % FR_MOD
             if claim_write[i] != hw:
-                raise ProofVerifyError(f"hash layer: write claim {i} mismatch")
+                raise ProofVerifyError(
+                    f"hash layer: write claim {i} mismatch: " + fmt_claims(
+                        expected=hw, got=claim_write[i], addr=eval_ops_addr[i],
+                        val=eval_ops_val[i], write_ts=(eval_read_ts[i] + 1) % FR_MOD))
 
     def verify(self, rand, claims_row, claims_col, claims_dotp,
                comm: SparseMatPolyCommitment, comm_derefs: DerefsCommitment,
@@ -649,6 +695,13 @@ class ProductLayerProof:
     eval_val: tuple  # (dotp_left_vec, dotp_right_vec)
     proof_mem: ProductCircuitEvalProofBatched
     proof_ops: ProductCircuitEvalProofBatched
+
+    _VI = ("vec", "int")
+    SCHEMA = {
+        "eval_row": ("tuple", "int", _VI, _VI, "int"),
+        "eval_col": ("tuple", "int", _VI, _VI, "int"),
+        "eval_val": ("tuple", _VI, _VI),
+    }
 
     PROTOCOL = b"Sparse polynomial product layer proof"
 
@@ -757,7 +810,12 @@ class ProductLayerProof:
         for v in row_eval_read:
             rs = rs * v % FR_MOD
         if row_eval_init * ws % FR_MOD != rs * row_eval_audit % FR_MOD:
-            raise ProofVerifyError("product layer: row multiset check failed")
+            from spartan_tpu.utils.errors import fmt_claims
+
+            raise ProofVerifyError(
+                "product layer: row multiset check failed (init*W != R*audit): "
+                + fmt_claims(init=row_eval_init, audit=row_eval_audit,
+                             read=row_eval_read, write=row_eval_write))
 
         transcript.append_scalar(b"claim_row_eval_init", row_eval_init)
         transcript.append_scalars(b"claim_row_eval_read", row_eval_read)
@@ -770,7 +828,12 @@ class ProductLayerProof:
         for v in col_eval_read:
             rs = rs * v % FR_MOD
         if col_eval_init * ws % FR_MOD != rs * col_eval_audit % FR_MOD:
-            raise ProofVerifyError("product layer: col multiset check failed")
+            from spartan_tpu.utils.errors import fmt_claims
+
+            raise ProofVerifyError(
+                "product layer: col multiset check failed (init*W != R*audit): "
+                + fmt_claims(init=col_eval_init, audit=col_eval_audit,
+                             read=col_eval_read, write=col_eval_write))
 
         transcript.append_scalar(b"claim_col_eval_init", col_eval_init)
         transcript.append_scalars(b"claim_col_eval_read", col_eval_read)
@@ -780,7 +843,13 @@ class ProductLayerProof:
         claims_dotp_circuit: list[int] = []
         for i in range(num_instances):
             if (eval_dotp_left_vec[i] + eval_dotp_right_vec[i]) % FR_MOD != evals[i] % FR_MOD:
-                raise ProofVerifyError(f"product layer: dotp split check {i} failed")
+                from spartan_tpu.utils.errors import fmt_claims
+
+                raise ProofVerifyError(
+                    f"product layer: dotp split check {i} failed "
+                    "(left + right != claimed eval): " + fmt_claims(
+                        left=eval_dotp_left_vec[i], right=eval_dotp_right_vec[i],
+                        claimed=evals[i] % FR_MOD))
             transcript.append_scalar(b"claim_eval_dotp_left", eval_dotp_left_vec[i])
             transcript.append_scalar(b"claim_eval_dotp_right", eval_dotp_right_vec[i])
             claims_dotp_circuit.extend([eval_dotp_left_vec[i], eval_dotp_right_vec[i]])

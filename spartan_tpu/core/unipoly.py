@@ -87,3 +87,5 @@ class CompressedUniPoly:
 
     def serialize_fields(self):
         return [self.coeffs_except_linear_term]
+
+    DESER_SPECS = [("vec", "int")]

@@ -266,6 +266,30 @@ def from_uniform_bytes(uniform: bytes) -> Point:
     return scalar_mul(v, GEN)
 
 
+def from_uniform_bytes_secure(uniform: bytes) -> Point:
+    """64 uniform bytes -> point with UNKNOWN discrete log.
+
+    Rejection-samples x coordinates: sha3-256(uniform || counter) -> x in
+    Fq; accept the first x with x^3 + 3 a quadratic residue, taking the
+    non-negative root (arkworks SWFlags sign convention). Unlike the
+    reference's simplified scalar*G map (group.rs:110-132) nobody can
+    compute dlog(P), so Pedersen commitments over these generators are
+    binding. BN254 G1 has cofactor 1 — no clearing needed.
+    """
+    import hashlib
+
+    assert len(uniform) == 64
+    ctr = 0
+    while True:
+        h = hashlib.sha3_256(uniform + ctr.to_bytes(4, "little")).digest()
+        x = int.from_bytes(h, "little") % FQ_MOD
+        y = fq_sqrt((x * x % FQ_MOD * x + 3) % FQ_MOD)
+        if y is not None:
+            y = min(y, FQ_MOD - y)  # canonical: non-negative root
+            return (x, y)
+        ctr += 1
+
+
 # ---------------------------------------------------------------------------
 # arkworks-compatible compressed serialization
 # ---------------------------------------------------------------------------

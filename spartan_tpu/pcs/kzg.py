@@ -107,7 +107,9 @@ class KZGSrs:
 
     @staticmethod
     def load_from_file(path: str) -> "KZGSrs":
-        d = np.load(path if path.endswith(".npz") else path + ".npz", allow_pickle=True)
+        # plain numeric/str arrays only — never allow_pickle on files that
+        # may come from outside (arbitrary-code-execution vector)
+        d = np.load(path if path.endswith(".npz") else path + ".npz")
         powers = (jnp.asarray(d["x"]), jnp.asarray(d["y"]), jnp.asarray(d["inf"]))
         t = [int(s) for s in d["tau_g2"]]
         g = [int(s) for s in d["g2"]]
@@ -166,8 +168,13 @@ class KZGProof:
         eval_ = F.decode_fr(k_dot(coeffs_mont, zpow)[None])[0]
         if n <= 1:
             return KZGProof(GroupElem.identity()), eval_
-        zinv = F.encode_fr([fr_inv(point) if point else 0])[0]
-        q = _k_quotient(coeffs_mont, z, zinv)
+        if point % FR_MOD == 0:
+            # (p(x) - p(0)) / x is the coefficient shift; the suffix-Horner
+            # form below needs z^-1 and is undefined at z = 0
+            q = coeffs_mont[1:]
+        else:
+            zinv = F.encode_fr([fr_inv(point)])[0]
+            q = _k_quotient(coeffs_mont, z, zinv)
         return KZGProof(_commit_msm(srs, q)), eval_
 
     def verify(self, commitment: KZGCommitment, point: int, eval_: int,
@@ -260,6 +267,14 @@ class KZGPolyCommitmentGens:
 
     def verify_eval(self, proof: "KZGPolyEvalProof", comm: "KZGPolyCommitment",
                     _r_joint, _claim, transcript) -> None:
+        """REFERENCE-PARITY ONLY — NOT a sound link to the multilinear claim.
+
+        Like the reference's kzg feature (sparse_mlpoly_full.rs:552-596),
+        this checks a univariate opening at a fresh transcript point but
+        never ties ``_claim`` (the joint multilinear derefs evaluation at
+        ``_r_joint``) to the commitment. Hyrax mode (the default) performs
+        the sound check; use pcs='kzg' only for cross-library parity work.
+        """
         point = transcript.challenge_scalar(b"kzg_eval_point")
         ok = KZGProof(proof.proof).verify(
             KZGCommitment(comm.commitment), point, proof.eval, self.srs)

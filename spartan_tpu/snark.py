@@ -22,6 +22,7 @@ from spartan_tpu.ops.fields_host import FR_MOD
 from spartan_tpu.utils.errors import (
     InvalidIndexError,
     InvalidNumberOfInputsError,
+    InvalidScalarError,
     ProofVerifyError,
 )
 from spartan_tpu.utils.math import next_power_of_two
@@ -70,8 +71,12 @@ class Instance:
                     raise InvalidIndexError("row out of range")
                 if col >= num_vars + 1 + num_inputs:
                     raise InvalidIndexError("col out of range")
+                if not 0 <= val < FR_MOD:
+                    # Scalar::from_bytes rejects non-canonical values
+                    # (snark.rs:101: InvalidScalar) rather than reducing
+                    raise InvalidScalarError(f"value out of field at ({row},{col})")
                 adj = col + num_vars_padded - num_vars if col >= num_vars else col
-                out.append((row, adj, val % FR_MOD))
+                out.append((row, adj, val))
             return out
 
         shape = R1CSShape(num_cons_padded, num_vars_padded, num_inputs,

@@ -45,3 +45,21 @@ class ProofVerifyError(SpartanError):
     def __init__(self, reason: str = "internal error"):
         super().__init__(reason)
         self.reason = reason
+
+
+def fmt_claims(**claims) -> str:
+    """Claim-by-claim diagnostic dump for verify failures, mirroring the
+    reference's eprintln! dumps (product_tree.rs:461-505,
+    sparse_mlpoly_full.rs:1072-1108). Ints print as hex; lists are
+    truncated to their first 8 entries."""
+
+    def one(v):
+        if isinstance(v, int):
+            return hex(v)
+        if isinstance(v, (list, tuple)):
+            head = ", ".join(one(x) for x in list(v)[:8])
+            more = f", ...{len(v) - 8} more" if len(v) > 8 else ""
+            return f"[{head}{more}]"
+        return repr(v)
+
+    return "; ".join(f"{k}={one(v)}" for k, v in claims.items())

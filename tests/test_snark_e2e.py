@@ -71,3 +71,27 @@ def test_snark_kzg_roundtrip():
 
     vt = Transcript(b"snark_kzg_test")
     proof.verify(comm, inputs, vt, gens)
+
+
+def test_snark_corrupted_product_layer_diagnostics():
+    """A corrupted grand-product claim reports which layer and which claim
+    diverged (reference ergonomics: product_tree.rs:461-505 eprintln!)."""
+    inst, vars_, inputs = _instance()
+    max_nnz = max(len(inst.inst.A.M), len(inst.inst.B.M), len(inst.inst.C.M))
+    gens = SNARKGens(8, 8, 1, max_nnz)
+    comm, decomm = SNARK.encode(inst, gens)
+
+    tape = RandomTape(b"snark_proof", seed=b"\x07" * 32)
+    pt = Transcript(b"snark_diag")
+    proof = SNARK.prove(inst, comm, decomm, vars_, inputs, gens, pt, tape)
+
+    pl = proof.r1cs_eval_proof.proof.poly_eval_network_proof.proof_prod_layer
+    init, read, write, audit = pl.eval_row
+    pl.eval_row = ((init + 1) % FR_MOD, read, write, audit)
+
+    from spartan_tpu.utils.errors import ProofVerifyError
+
+    with pytest.raises(ProofVerifyError) as exc_info:
+        proof.verify(comm, inputs, Transcript(b"snark_diag"), gens)
+    msg = str(exc_info.value)
+    assert "multiset" in msg and "init=0x" in msg  # names the failing claim
