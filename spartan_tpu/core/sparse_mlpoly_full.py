@@ -266,7 +266,7 @@ class SparseMatPolyCommitment:
         self.comm_comb_mem.append_to_transcript(b"comm_comb_mem", transcript)
 
 
-def multi_commit(sparse_polys, gens: SparseMatPolyCommitmentGens):
+def multi_commit(sparse_polys, gens: SparseMatPolyCommitmentGens, mesh=None):
     """(commitment, dense rep) — the SNARK::encode hot path
     (sparse_mlpoly_full.rs:176-197)."""
     from spartan_tpu.utils.timer import Timer
@@ -275,10 +275,10 @@ def multi_commit(sparse_polys, gens: SparseMatPolyCommitmentGens):
     dense = multi_sparse_to_dense_rep(sparse_polys)
     timer_dense.stop()
     timer_ops = Timer(f"commit_comb_ops[{dense.comb_ops.len}]")
-    comm_comb_ops, _ = commit_poly(dense.comb_ops, gens.gens_ops)
+    comm_comb_ops, _ = commit_poly(dense.comb_ops, gens.gens_ops, mesh=mesh)
     timer_ops.stop()
     timer_mem = Timer(f"commit_comb_mem[{dense.comb_mem.len}]")
-    comm_comb_mem, _ = commit_poly(dense.comb_mem, gens.gens_mem)
+    comm_comb_mem, _ = commit_poly(dense.comb_mem, gens.gens_mem, mesh=mesh)
     timer_mem.stop()
     dense.release_device()  # rebuilt lazily at prove time
     return (
@@ -313,9 +313,9 @@ class Derefs:
     def release_comb(self) -> None:
         self._comb = None
 
-    def commit(self, gens) -> "DerefsCommitment":
+    def commit(self, gens, mesh=None) -> "DerefsCommitment":
         if isinstance(gens, PolyCommitmentGens):
-            comm, _ = commit_poly(self.comb, gens)
+            comm, _ = commit_poly(self.comb, gens, mesh=mesh)
             return DerefsCommitment(comm)
         comm = gens.commit(self.comb)
         return DerefsCommitment(comm)
@@ -708,7 +708,7 @@ class ProductLayerProof:
     @staticmethod
     def prove(row_prod_layer: ProductLayer, col_prod_layer: ProductLayer,
               dense: MultiSparseMatPolynomialAsDense, derefs: Derefs,
-              eval: list[int], transcript):
+              eval: list[int], transcript, mesh=None):
         transcript.append_protocol_name(ProductLayerProof.PROTOCOL)
 
         row_eval_init = row_prod_layer.init.evaluate()
@@ -770,14 +770,14 @@ class ProductLayerProof:
                         list(col_prod_layer.read_vec) + list(col_prod_layer.write_vec))
         timer_ops_trees = Timer("ops_product_trees")
         proof_ops, rand_ops = ProductCircuitEvalProofBatched.prove(
-            ops_circuits, dotp_circuits, transcript)
+            ops_circuits, dotp_circuits, transcript, mesh=mesh)
         timer_ops_trees.stop()
 
         mem_circuits = [row_prod_layer.init, row_prod_layer.audit,
                         col_prod_layer.init, col_prod_layer.audit]
         timer_mem_trees = Timer("mem_product_trees")
         proof_mem, rand_mem = ProductCircuitEvalProofBatched.prove(
-            mem_circuits, [], transcript)
+            mem_circuits, [], transcript, mesh=mesh)
         timer_mem_trees.stop()
 
         return (
@@ -877,14 +877,14 @@ class PolyEvalNetworkProof:
     @staticmethod
     def prove(network: PolyEvalNetwork, dense: MultiSparseMatPolynomialAsDense,
               derefs: Derefs, evals: list[int], gens: SparseMatPolyCommitmentGens,
-              transcript, random_tape) -> "PolyEvalNetworkProof":
+              transcript, random_tape, mesh=None) -> "PolyEvalNetworkProof":
         from spartan_tpu.utils.timer import Timer
 
         transcript.append_protocol_name(PolyEvalNetworkProof.PROTOCOL)
         timer_prod = Timer("product_layer_proof")
         proof_prod_layer, rand_mem, rand_ops = ProductLayerProof.prove(
             network.row_layers.prod_layer, network.col_layers.prod_layer,
-            dense, derefs, evals, transcript)
+            dense, derefs, evals, transcript, mesh=mesh)
         timer_prod.stop()
         timer_hash = Timer("hash_layer_proof")
         proof_hash_layer = HashLayerProof.prove(
@@ -936,7 +936,7 @@ class SparseMatPolyEvalProof:
     @staticmethod
     def prove(dense: MultiSparseMatPolynomialAsDense, rx: list[int], ry: list[int],
               evals: list[int], gens: SparseMatPolyCommitmentGens,
-              transcript, random_tape) -> "SparseMatPolyEvalProof":
+              transcript, random_tape, mesh=None) -> "SparseMatPolyEvalProof":
         transcript.append_protocol_name(SparseMatPolyEvalProof.PROTOCOL)
         assert len(evals) == dense.batch_size
 
@@ -954,7 +954,7 @@ class SparseMatPolyEvalProof:
 
         # ** the flagship MSM: 79.6% of reference prove time **
         timer_commit = Timer("derefs_commitment")
-        comm_derefs = derefs.commit(gens.gens_derefs)
+        comm_derefs = derefs.commit(gens.gens_derefs, mesh=mesh)
         comm_derefs.append_to_transcript(b"comm_poly_row_col_ops_val", transcript)
         timer_commit.stop()
         derefs.release_comb()  # rebuilt for the hash-layer opening
@@ -966,7 +966,7 @@ class SparseMatPolyEvalProof:
         timer_net.stop()
         timer_proof = Timer("network_proof")
         network_proof = PolyEvalNetworkProof.prove(
-            net, dense, derefs, evals, gens, transcript, random_tape)
+            net, dense, derefs, evals, gens, transcript, random_tape, mesh=mesh)
         timer_proof.stop()
         dense.release_device()
         return SparseMatPolyEvalProof(comm_derefs, network_proof)

@@ -107,6 +107,128 @@ def k_fold_top(T, r):
     return fr.add(lo, fr.mul(r, fr.sub(hi, lo)))
 
 
+# -- fused one-dispatch round steps ------------------------------------------
+#
+# The interactive protocol forces one host<->device exchange per round (the
+# round polynomial feeds the transcript, the challenge feeds the fold), but
+# nothing forces MORE than one: these kernels fold every live table by the
+# previous challenge AND compute the next round's evaluations in a single
+# jitted call. On a tunneled chip dispatch latency dominates the math for
+# every table the prover touches (the batched layered sumchecks used to
+# issue ~4x#instances dispatches per round); pytree-of-arrays inputs keep
+# the instances unstacked so no multi-GB copies materialize.
+
+def _fold(T, r):
+    n = T.shape[-2] // 2
+    lo, hi = T[..., :n, :], T[..., n:, :]
+    return fr.add(lo, fr.mul(r, fr.sub(hi, lo)))
+
+
+def _cubic_eval_triple(A, B, C):
+    aL, aH = _halves(A)
+    bL, bH = _halves(B)
+    cL, cH = _halves(C)
+    a2, a3 = _extrapolate(aL, aH)
+    b2, b3 = _extrapolate(bL, bH)
+    c2, c3 = _extrapolate(cL, cH)
+    e0 = fr.reduce_sum(fr.mul(fr.mul(aL, bL), cL), axis=-2)
+    e2 = fr.reduce_sum(fr.mul(fr.mul(a2, b2), c2), axis=-2)
+    e3 = fr.reduce_sum(fr.mul(fr.mul(a3, b3), c3), axis=-2)
+    return e0, e2, e3
+
+
+def _batched_cubic_evals(TA, TB, TC, Cp, nP):
+    """Per-instance eval triples, stacked [3I, 16] in transcript order."""
+    outs = []
+    for k in range(len(TA)):
+        Ck = Cp if k < nP else TC[k - nP]
+        outs.extend(_cubic_eval_triple(TA[k], TB[k], Ck))
+    return jnp.stack(outs, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("nP",))
+def k_evals_cubic_batched(TA, TB, TC, Cp, nP: int):
+    return _batched_cubic_evals(TA, TB, TC, Cp, nP)
+
+
+@functools.partial(jax.jit, static_argnames=("nP",))
+def k_step_cubic_batched(TA, TB, TC, Cp, r, nP: int):
+    """Fold all tables by r, then next-round evals — one dispatch."""
+    TA = [_fold(t, r) for t in TA]
+    TB = [_fold(t, r) for t in TB]
+    TC = [_fold(t, r) for t in TC]
+    Cp = _fold(Cp, r)
+    return TA, TB, TC, Cp, _batched_cubic_evals(TA, TB, TC, Cp, nP)
+
+
+@jax.jit
+def k_folds_cubic_batched(TA, TB, TC, Cp, r):
+    """Fold-only tail step (next round continues on the host path)."""
+    return ([_fold(t, r) for t in TA], [_fold(t, r) for t in TB],
+            [_fold(t, r) for t in TC], _fold(Cp, r))
+
+
+def _additive_eval_triple(T, A, B, C):
+    tL, tH = _halves(T)
+    aL, aH = _halves(A)
+    bL, bH = _halves(B)
+    cL, cH = _halves(C)
+    t2, t3 = _extrapolate(tL, tH)
+    a2, a3 = _extrapolate(aL, aH)
+    b2, b3 = _extrapolate(bL, bH)
+    c2, c3 = _extrapolate(cL, cH)
+
+    def comb(t, a, b, c):
+        return fr.mul(t, fr.sub(fr.mul(a, b), c))
+
+    e0 = fr.reduce_sum(comb(tL, aL, bL, cL), axis=-2)
+    e2 = fr.reduce_sum(comb(t2, a2, b2, c2), axis=-2)
+    e3 = fr.reduce_sum(comb(t3, a3, b3, c3), axis=-2)
+    return jnp.stack([e0, e2, e3], axis=0)
+
+
+@jax.jit
+def k_cubic_additive_stack(T, A, B, C):
+    return _additive_eval_triple(T, A, B, C)
+
+
+@jax.jit
+def k_step_cubic_additive(T, A, B, C, r):
+    T, A, B, C = _fold(T, r), _fold(A, r), _fold(B, r), _fold(C, r)
+    return T, A, B, C, _additive_eval_triple(T, A, B, C)
+
+
+@jax.jit
+def k_folds_cubic_additive(T, A, B, C, r):
+    return _fold(T, r), _fold(A, r), _fold(B, r), _fold(C, r)
+
+
+def _quad_eval_pair(A, B):
+    aL, aH = _halves(A)
+    bL, bH = _halves(B)
+    a2 = fr.sub(fr.add(aH, aH), aL)
+    b2 = fr.sub(fr.add(bH, bH), bL)
+    e0 = fr.reduce_sum(fr.mul(aL, bL), axis=-2)
+    e2 = fr.reduce_sum(fr.mul(a2, b2), axis=-2)
+    return jnp.stack([e0, e2], axis=0)
+
+
+@jax.jit
+def k_quad_stack(A, B):
+    return _quad_eval_pair(A, B)
+
+
+@jax.jit
+def k_step_quad(A, B, r):
+    A, B = _fold(A, r), _fold(B, r)
+    return A, B, _quad_eval_pair(A, B)
+
+
+@jax.jit
+def k_folds_quad(A, B, r):
+    return _fold(A, r), _fold(B, r)
+
+
 def _decode3(e0, e2, e3):
     flat = jnp.stack([e0, e2, e3], axis=0)
     vals = F.decode_fr(flat.reshape(-1, flat.shape[-1]))
@@ -147,14 +269,17 @@ class SumcheckInstanceProof:
         r: list[int] = []
         polys: list[CompressedUniPoly] = []
         host = None  # host-int tables once the size drops under HOST_N
+        pending = None  # device evals for the current round (from fused step)
         for _ in range(num_rounds):
             if host is None and poly_A.len <= HP.HOST_N:
                 host = [p.to_ints() for p in (poly_A, poly_B, poly_C)]
             if host is not None:
                 v = HP.cubic_prod_evals(*host)
             else:
-                e0, e2, e3 = k_cubic_prod_evals(poly_A.Z, poly_B.Z, poly_C.Z)
-                v = F.decode_fr(jnp.stack([e0, e2, e3]))
+                if pending is None:
+                    pending = k_evals_cubic_batched(
+                        [poly_A.Z], [poly_B.Z], [], poly_C.Z, 1)
+                v = F.decode_fr(pending)
             poly = UniPoly.from_evals([v[0], (e - v[0]) % FR_MOD, v[1], v[2]])
             poly.append_to_transcript(b"poly", transcript)
             r_j = transcript.challenge_scalar(b"challenge_nextround")
@@ -163,8 +288,15 @@ class SumcheckInstanceProof:
                 host = [HP.fold_top(t, r_j) for t in host]
             else:
                 r_dev = mle.encode_scalar(r_j)
-                for p in (poly_A, poly_B, poly_C):
-                    p.bound_poly_var_top(r_dev)
+                if poly_A.len // 2 <= HP.HOST_N:
+                    (TA, TB, _, Cz) = k_folds_cubic_batched(
+                        [poly_A.Z], [poly_B.Z], [], poly_C.Z, r_dev)
+                    pending = None
+                else:
+                    TA, TB, _, Cz, pending = k_step_cubic_batched(
+                        [poly_A.Z], [poly_B.Z], [], poly_C.Z, r_dev, 1)
+                for p, z in zip((poly_A, poly_B, poly_C), (TA[0], TB[0], Cz)):
+                    p.rebind(z)
             e = poly.evaluate(r_j)
             polys.append(poly.compress())
         if host is not None:
@@ -175,14 +307,16 @@ class SumcheckInstanceProof:
 
     @staticmethod
     def prove_cubic_batched(claim: int, num_rounds: int,
-                            poly_vec_par, poly_vec_seq, coeffs: list[int], transcript):
+                            poly_vec_par, poly_vec_seq, coeffs: list[int], transcript,
+                            mesh=None):
         """Batched product sumcheck (sumcheck.rs:165-330).
 
         poly_vec_par: (A_list, B_list, C_shared) — DensePolynomials; the
         "par" instances share C (the eq table). poly_vec_seq: (A_list,
         B_list, C_list) with per-instance C. All tables equal length.
-        Stacks instances on a leading device axis; each round is two fused
-        kernels + one transcript exchange.
+        Each round is ONE fused fold+eval dispatch; with ``mesh`` the
+        tables are strided-sharded over the devices until they shrink
+        below shard granularity (transcript bit-identical either way).
         """
         A_par, B_par, C_par = poly_vec_par
         A_seq, B_seq, C_seq = poly_vec_seq
@@ -202,31 +336,42 @@ class SumcheckInstanceProof:
         r: list[int] = []
         polys: list[CompressedUniPoly] = []
         host = None  # (HA, HB, HC_par, HC_seq) lists-of-int-lists
+        pending = None  # device evals [3I, 16] for the current round
+
+        mesh_t = None
+        n0 = TA[0].shape[0]
+        if mesh is not None and mesh.devices.size > 1 and \
+                n0 > HP.HOST_N and n0 >= 2 * mesh.devices.size and \
+                n0 % (2 * mesh.devices.size) == 0:
+            mesh_t = _BatchedMeshTables(mesh, TA, TB, TC, Cp, nP)
 
         for _ in range(num_rounds):
-            if host is None and TA[0].shape[0] <= HP.HOST_N:
-                host = ([F.decode_fr(t) for t in TA],
-                        [F.decode_fr(t) for t in TB],
-                        F.decode_fr(Cp),
-                        [F.decode_fr(t) for t in TC])
-            if host is not None:
-                HA, HB, HCp, HCs = host
-                ev0, ev2, ev3 = [0] * I, [0] * I, [0] * I
-                for k in range(nP):
-                    ev0[k], ev2[k], ev3[k] = HP.cubic_prod_evals(HA[k], HB[k], HCp)
-                for k in range(nS):
-                    ev0[nP + k], ev2[nP + k], ev3[nP + k] = \
-                        HP.cubic_prod_evals(HA[nP + k], HB[nP + k], HCs[k])
+            if mesh_t is not None:
+                if pending is None:
+                    pending = mesh_t.evals()
+                vals = F.decode_fr(pending)
+                ev0, ev2, ev3 = vals[0::3], vals[1::3], vals[2::3]
             else:
-                triples = []
-                for k in range(I):
-                    Ck = Cp if k < nP else TC[k - nP]
-                    triples.append(k_cubic_prod_evals(TA[k], TB[k], Ck))
-                flat = jnp.stack([t[j] for t in triples for j in range(3)], axis=0)
-                vals = F.decode_fr(flat)
-                ev0 = vals[0::3]
-                ev2 = vals[1::3]
-                ev3 = vals[2::3]
+                if host is None and TA[0].shape[0] <= HP.HOST_N:
+                    host = ([F.decode_fr(t) for t in TA],
+                            [F.decode_fr(t) for t in TB],
+                            F.decode_fr(Cp),
+                            [F.decode_fr(t) for t in TC])
+                if host is not None:
+                    HA, HB, HCp, HCs = host
+                    ev0, ev2, ev3 = [0] * I, [0] * I, [0] * I
+                    for k in range(nP):
+                        ev0[k], ev2[k], ev3[k] = HP.cubic_prod_evals(HA[k], HB[k], HCp)
+                    for k in range(nS):
+                        ev0[nP + k], ev2[nP + k], ev3[nP + k] = \
+                            HP.cubic_prod_evals(HA[nP + k], HB[nP + k], HCs[k])
+                else:
+                    if pending is None:
+                        pending = k_evals_cubic_batched(TA, TB, TC, Cp, nP)
+                    vals = F.decode_fr(pending)
+                    ev0 = vals[0::3]
+                    ev2 = vals[1::3]
+                    ev3 = vals[2::3]
             c0 = sum(ev0[i] * coeffs[i] for i in range(I)) % FR_MOD
             c2 = sum(ev2[i] * coeffs[i] for i in range(I)) % FR_MOD
             c3 = sum(ev3[i] * coeffs[i] for i in range(I)) % FR_MOD
@@ -234,7 +379,15 @@ class SumcheckInstanceProof:
             poly.append_to_transcript(b"poly", transcript)
             r_j = transcript.challenge_scalar(b"challenge_nextround")
             r.append(r_j)
-            if host is not None:
+            if mesh_t is not None:
+                r_dev = mle.encode_scalar(r_j)
+                if mesh_t.can_step():
+                    pending = mesh_t.step(r_dev)
+                else:
+                    TA, TB, TC, Cp = mesh_t.fold_gather(r_dev)
+                    mesh_t = None
+                    pending = None
+            elif host is not None:
                 HA, HB, HCp, HCs = host
                 host = ([HP.fold_top(t, r_j) for t in HA],
                         [HP.fold_top(t, r_j) for t in HB],
@@ -242,10 +395,12 @@ class SumcheckInstanceProof:
                         [HP.fold_top(t, r_j) for t in HCs])
             else:
                 r_dev = mle.encode_scalar(r_j)
-                TA = [k_fold_top(t, r_dev) for t in TA]
-                TB = [k_fold_top(t, r_dev) for t in TB]
-                Cp = k_fold_top(Cp, r_dev)
-                TC = [k_fold_top(t, r_dev) for t in TC]
+                if TA[0].shape[0] // 2 <= HP.HOST_N:
+                    TA, TB, TC, Cp = k_folds_cubic_batched(TA, TB, TC, Cp, r_dev)
+                    pending = None
+                else:
+                    TA, TB, TC, Cp, pending = k_step_cubic_batched(
+                        TA, TB, TC, Cp, r_dev, nP)
             e = poly.evaluate(r_j)
             polys.append(poly.compress())
 
@@ -284,8 +439,10 @@ class _MeshTables:
         from spartan_tpu.parallel.mesh import shard_table
         from spartan_tpu.parallel.sumcheck_sharded import (
             make_cubic_evals,
+            make_cubic_step,
             make_fold,
             make_quad_evals,
+            make_quad_step,
             to_strided,
         )
 
@@ -293,6 +450,8 @@ class _MeshTables:
         self.D = mesh.devices.size
         self._cubic_evals = jax.jit(make_cubic_evals(mesh))
         self._quad_evals = jax.jit(make_quad_evals(mesh))
+        self._cubic_step = jax.jit(make_cubic_step(mesh))
+        self._quad_step = jax.jit(make_quad_step(mesh))
         self._fold = jax.jit(make_fold(mesh))
         self.n = tables[0].Z.shape[0]
         assert self.n >= 2 * self.D and self.n % (2 * self.D) == 0
@@ -302,6 +461,12 @@ class _MeshTables:
     def active(self) -> bool:
         return self.sharded is not None
 
+    def can_step(self) -> bool:
+        """True when the post-fold table still spans the mesh (fused step
+        stays valid) and is too big for the host tail; otherwise callers
+        fold+gather via ``fold`` and the small-table paths take over."""
+        return self.n // 2 >= 2 * self.D and self.n // 2 > HP.HOST_N
+
     def evals_cubic(self):
         T, A, B, C = self.sharded
         return self._cubic_evals(T, A, B, C)
@@ -310,21 +475,94 @@ class _MeshTables:
         A, B = self.sharded
         return self._quad_evals(A, B)
 
-    def fold(self, r_dev) -> None:
-        from spartan_tpu.parallel.sumcheck_sharded import from_strided
+    def step_cubic(self, r_dev):
+        """Fold by r then next-round evals — one dispatch (fused)."""
+        T, A, B, C = self.sharded
+        T, A, B, C, e0, e2, e3 = self._cubic_step(T, A, B, C, r_dev)
+        self.sharded = [T, A, B, C]
+        self._shrink()
+        return jnp.stack([e0, e2, e3])
 
+    def step_quad(self, r_dev):
+        A, B = self.sharded
+        A, B, e0, e2 = self._quad_step(A, B, r_dev)
+        self.sharded = [A, B]
+        self._shrink()
+        return jnp.stack([e0, e2])
+
+    def _shrink(self) -> None:
         from spartan_tpu.utils.math import log_2
 
-        self.sharded = [self._fold(t, r_dev) for t in self.sharded]
         self.n //= 2
         for p in self.polys:
             p.len = self.n
             p.num_vars = log_2(self.n)
-        if self.n < 2 * self.D:
+
+    def fold(self, r_dev) -> None:
+        from spartan_tpu.parallel.sumcheck_sharded import from_strided
+
+        self.sharded = [self._fold(t, r_dev) for t in self.sharded]
+        self._shrink()
+        if self.n < 2 * self.D or self.n <= HP.HOST_N:
             # gather to a single device; callers continue with local kernels
             for p, t in zip(self.polys, self.sharded):
                 p.Z = from_strided(t)
             self.sharded = None
+
+
+class _BatchedMeshTables:
+    """Strided-sharded tables for the batched layered sumcheck.
+
+    Same layout/exactness story as ``_MeshTables`` but over pytrees of
+    per-instance tables (the product-tree layer proofs, up to 2^21 leaf
+    tables at keyless scale — the largest sumchecks in the prover).
+    """
+
+    def __init__(self, mesh, TA, TB, TC, Cp, nP: int):
+        from spartan_tpu.parallel.mesh import shard_table
+        from spartan_tpu.parallel.sumcheck_sharded import (
+            make_batched_evals,
+            make_batched_fold,
+            make_batched_step,
+            to_strided,
+        )
+
+        self.D = mesh.devices.size
+        self.n = TA[0].shape[0]
+        assert self.n >= 2 * self.D and self.n % (2 * self.D) == 0
+        self._evals = jax.jit(make_batched_evals(mesh, nP))
+        self._step = jax.jit(make_batched_step(mesh, nP))
+        self._fold = jax.jit(make_batched_fold(mesh))
+
+        def prep(t):
+            return shard_table(mesh, to_strided(t, self.D))
+
+        self.TA = [prep(t) for t in TA]
+        self.TB = [prep(t) for t in TB]
+        self.TC = [prep(t) for t in TC]
+        self.Cp = prep(Cp)
+
+    def can_step(self) -> bool:
+        return self.n // 2 >= 2 * self.D and self.n // 2 > HP.HOST_N
+
+    def evals(self):
+        return self._evals(self.TA, self.TB, self.TC, self.Cp)
+
+    def step(self, r_dev):
+        """Fold all tables by r then next-round evals — one dispatch."""
+        self.TA, self.TB, self.TC, self.Cp, ev = self._step(
+            self.TA, self.TB, self.TC, self.Cp, r_dev)
+        self.n //= 2
+        return ev
+
+    def fold_gather(self, r_dev):
+        """Fold once more, then return natural-order single-device tables."""
+        from spartan_tpu.parallel.sumcheck_sharded import from_strided
+
+        TA, TB, TC, Cp = self._fold(self.TA, self.TB, self.TC, self.Cp, r_dev)
+        self.n //= 2
+        return ([from_strided(t) for t in TA], [from_strided(t) for t in TB],
+                [from_strided(t) for t in TC], from_strided(Cp))
 
 
 # ---------------------------------------------------------------------------
@@ -423,19 +661,23 @@ class ZKSumcheckInstanceProof:
             mesh_tables = _MeshTables(mesh, tables)
 
         host = None  # host-int tables for the small-size tail
+        pending = None  # device evals for the current round (fused step)
         for j in range(num_rounds):
             if mesh_tables is not None and mesh_tables.active():
-                e0, e2, e3 = mesh_tables.evals_cubic()
-                v = F.decode_fr(jnp.stack([e0, e2, e3]))
+                if pending is None:
+                    e0, e2, e3 = mesh_tables.evals_cubic()
+                    pending = jnp.stack([e0, e2, e3])
+                v = F.decode_fr(pending)
             else:
                 if host is None and poly_tau.len <= HP.HOST_N:
                     host = [p.to_ints() for p in tables]
                 if host is not None:
                     v = HP.cubic_additive_evals(*host)
                 else:
-                    e0, e2, e3 = k_cubic_additive_evals(
-                        poly_tau.Z, poly_Az.Z, poly_Bz.Z, poly_Cz.Z)
-                    v = F.decode_fr(jnp.stack([e0, e2, e3]))
+                    if pending is None:
+                        pending = k_cubic_additive_stack(
+                            poly_tau.Z, poly_Az.Z, poly_Bz.Z, poly_Cz.Z)
+                    v = F.decode_fr(pending)
             poly = UniPoly.from_evals([v[0], (claim_per_round - v[0]) % FR_MOD, v[1], v[2]])
             comm_poly = commit(poly.as_vec(), blinds_poly[j], gens_n)
             comm_poly.append_to_transcript(b"comm_poly", transcript)
@@ -443,13 +685,24 @@ class ZKSumcheckInstanceProof:
 
             r_j = transcript.challenge_scalar(b"challenge_nextround")
             if mesh_tables is not None and mesh_tables.active():
-                mesh_tables.fold(mle.encode_scalar(r_j))
+                if mesh_tables.can_step():
+                    pending = mesh_tables.step_cubic(mle.encode_scalar(r_j))
+                else:
+                    mesh_tables.fold(mle.encode_scalar(r_j))
+                    pending = None
             elif host is not None:
                 host = [HP.fold_top(t, r_j) for t in host]
             else:
                 r_dev = mle.encode_scalar(r_j)
-                for p in tables:
-                    p.bound_poly_var_top(r_dev)
+                if poly_tau.len // 2 <= HP.HOST_N:
+                    folded = k_folds_cubic_additive(
+                        poly_tau.Z, poly_Az.Z, poly_Bz.Z, poly_Cz.Z, r_dev)
+                    pending = None
+                else:
+                    *folded, pending = k_step_cubic_additive(
+                        poly_tau.Z, poly_Az.Z, poly_Bz.Z, poly_Cz.Z, r_dev)
+                for p, z in zip(tables, folded):
+                    p.rebind(z)
 
             blind_sc = blind_claim if j == 0 else blinds_evals[j - 1]
             proof, eval_, comm_eval = ZKSumcheckInstanceProof._round_tail(
@@ -498,18 +751,22 @@ class ZKSumcheckInstanceProof:
             mesh_tables = _MeshTables(mesh, tables)
 
         host = None
+        pending = None  # device evals for the current round (fused step)
         for j in range(num_rounds):
             if mesh_tables is not None and mesh_tables.active():
-                e0, e2 = mesh_tables.evals_quad()
-                v = F.decode_fr(jnp.stack([e0, e2]))
+                if pending is None:
+                    e0, e2 = mesh_tables.evals_quad()
+                    pending = jnp.stack([e0, e2])
+                v = F.decode_fr(pending)
             else:
                 if host is None and poly_z.len <= HP.HOST_N:
                     host = [p.to_ints() for p in tables]
                 if host is not None:
                     v = HP.quad_evals(*host)
                 else:
-                    e0, e2 = k_quad_evals(poly_z.Z, poly_ABC.Z)
-                    v = F.decode_fr(jnp.stack([e0, e2]))
+                    if pending is None:
+                        pending = k_quad_stack(poly_z.Z, poly_ABC.Z)
+                    v = F.decode_fr(pending)
             poly = UniPoly.from_evals([v[0], (claim_per_round - v[0]) % FR_MOD, v[1]])
             comm_poly = commit(poly.as_vec(), blinds_poly[j], gens_n)
             comm_poly.append_to_transcript(b"comm_poly", transcript)
@@ -517,13 +774,22 @@ class ZKSumcheckInstanceProof:
 
             r_j = transcript.challenge_scalar(b"challenge_nextround")
             if mesh_tables is not None and mesh_tables.active():
-                mesh_tables.fold(mle.encode_scalar(r_j))
+                if mesh_tables.can_step():
+                    pending = mesh_tables.step_quad(mle.encode_scalar(r_j))
+                else:
+                    mesh_tables.fold(mle.encode_scalar(r_j))
+                    pending = None
             elif host is not None:
                 host = [HP.fold_top(t, r_j) for t in host]
             else:
                 r_dev = mle.encode_scalar(r_j)
-                poly_z.bound_poly_var_top(r_dev)
-                poly_ABC.bound_poly_var_top(r_dev)
+                if poly_z.len // 2 <= HP.HOST_N:
+                    folded = k_folds_quad(poly_z.Z, poly_ABC.Z, r_dev)
+                    pending = None
+                else:
+                    *folded, pending = k_step_quad(poly_z.Z, poly_ABC.Z, r_dev)
+                for p, z in zip(tables, folded):
+                    p.rebind(z)
 
             blind_sc = blind_claim if j == 0 else blinds_evals[j - 1]
             proof, eval_, comm_eval = ZKSumcheckInstanceProof._round_tail(

@@ -71,8 +71,15 @@ def synthetic(log2_cons: int, num_inputs: int = 1, nnz_per_row: int = 3, seed: i
     return Instance.from_shape(shape), Assignment(vars_), Assignment(inputs), max_nnz
 
 
-def run(inst, vars_, inputs, max_nnz, pcs: str = "hyrax", json_out: bool = False):
+def run(inst, vars_, inputs, max_nnz, pcs: str = "hyrax", json_out: bool = False,
+        mesh_devices: int = 0):
     import jax
+
+    mesh = None
+    if mesh_devices > 1:
+        from spartan_tpu.parallel import make_mesh
+
+        mesh = make_mesh(mesh_devices)
 
     shape = inst.inst
     report: dict = {
@@ -80,6 +87,7 @@ def run(inst, vars_, inputs, max_nnz, pcs: str = "hyrax", json_out: bool = False
         "num_inputs": shape.num_inputs,
         "nnz": [len(shape.A.M), len(shape.B.M), len(shape.C.M)],
         "pcs": pcs, "backend": jax.default_backend(),
+        "mesh_devices": mesh_devices,
     }
 
     t0 = time.perf_counter()
@@ -96,13 +104,14 @@ def run(inst, vars_, inputs, max_nnz, pcs: str = "hyrax", json_out: bool = False
     report["gens_s"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    comm, decomm = SNARK.encode(inst, gens)
+    comm, decomm = SNARK.encode(inst, gens, mesh=mesh)
     report["encode_s"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     tape = RandomTape(b"snark_proof")
     pt = Transcript(b"keyless_bench")
-    proof = SNARK.prove(inst, comm, decomm, vars_, inputs, gens, pt, tape)
+    proof = SNARK.prove(inst, comm, decomm, vars_, inputs, gens, pt, tape,
+                        mesh=mesh)
     report["prove_s"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
@@ -114,6 +123,8 @@ def run(inst, vars_, inputs, max_nnz, pcs: str = "hyrax", json_out: bool = False
     from spartan_tpu.utils.serialization import size_bytes
 
     report["proof_bytes"] = size_bytes(proof)
+    # published reference sizes at keyless scale (BENCHMARK_RESULTS.md:86-92)
+    report["ref_proof_bytes_keyless"] = 252_314 if pcs == "hyrax" else 120_422
 
     if json_out:
         print(json.dumps(report))
@@ -122,6 +133,9 @@ def run(inst, vars_, inputs, max_nnz, pcs: str = "hyrax", json_out: bool = False
               f"  nnz {report['nnz']}  pcs={pcs}  backend={report['backend']}")
         for k in ("gens_s", "encode_s", "prove_s", "verify_s"):
             print(f"  {k:10s} {report[k]:9.2f}")
+        print(f"  proof size {report['proof_bytes']/1024:.1f} KB "
+              f"(reference at keyless 2^20 scale: "
+              f"{report['ref_proof_bytes_keyless']/1024:.1f} KB)")
         print("  verification: OK")
     return report
 
@@ -134,6 +148,8 @@ def main() -> None:
                     help="use a random satisfiable R1CS of 2^LOG2 constraints")
     ap.add_argument("--pcs", choices=("hyrax", "kzg"), default="hyrax")
     ap.add_argument("--json", action="store_true")
+    ap.add_argument("--mesh", type=int, default=0, metavar="N",
+                    help="shard the prover over an N-device mesh")
     ap.add_argument("--profile", metavar="DIR",
                     help="capture a jax profiler trace of the prove phase")
     args = ap.parse_args()
@@ -149,9 +165,9 @@ def main() -> None:
         import jax
 
         with jax.profiler.trace(args.profile):
-            run(*data, pcs=args.pcs, json_out=args.json)
+            run(*data, pcs=args.pcs, json_out=args.json, mesh_devices=args.mesh)
     else:
-        run(*data, pcs=args.pcs, json_out=args.json)
+        run(*data, pcs=args.pcs, json_out=args.json, mesh_devices=args.mesh)
 
 
 if __name__ == "__main__":

@@ -24,6 +24,42 @@ from spartan_tpu.ops.limbs import NUM_LIMBS
 from spartan_tpu.parallel.mesh import SHARD_AXIS
 
 
+def commit_rows_sharded(mesh, Z_mont, blinds_mont, gens_points):
+    """Row-parallel Hyrax matrix commit: rows sharded over the mesh.
+
+    Z_mont [L, R, 16] Montgomery + per-row blinds against shared generators
+    (the reference's rayon par_iter over rows, hyrax.rs:253-267). Each
+    device runs the full single-row MSM pipeline on its row shard — no
+    collectives until the final [L] point gather — so the results are
+    bit-identical to the unsharded ``commit_rows``.
+    """
+    from spartan_tpu.ops import field_jax as F
+    from spartan_tpu.ops import msm as MSM_mod
+
+    D = mesh.devices.size
+    L, R = Z_mont.shape[0], Z_mont.shape[1]
+    pad = (-L) % D
+    if pad:
+        Z_mont = jnp.concatenate(
+            [Z_mont, jnp.zeros((pad, R, NUM_LIMBS), jnp.uint32)], axis=0)
+        blinds_mont = jnp.concatenate(
+            [blinds_mont, jnp.zeros((pad, NUM_LIMBS), jnp.uint32)], axis=0)
+
+    def local(z, b, px, py, pinf):
+        sc = jnp.concatenate([z, b[:, None, :]], axis=1)
+        return MSM_mod.msm((px, py, pinf), F.fr.from_mont(sc))
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(SHARD_AXIS, None, None), P(SHARD_AXIS, None),
+                  P(None, None), P(None, None), P(None)),
+        out_specs=(P(SHARD_AXIS, None),) * 3,
+        check_rep=False,
+    )
+    out = jax.jit(fn)(Z_mont, blinds_mont, *gens_points)
+    return tuple(a[:L] for a in out)
+
+
 def msm_sharded(mesh, points, scalars, c: int = 8):
     """MSM over a device mesh. points: affine tuple sharded on the point
     axis; scalars: [N, 16] canonical limbs, same sharding. Returns a

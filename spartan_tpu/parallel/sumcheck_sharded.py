@@ -131,6 +131,146 @@ def make_fold(mesh):
     )
 
 
+def make_cubic_step(mesh):
+    """jittable (T, A, B, C, r) -> (T', A', B', C', e0, e2, e3).
+
+    Fold-then-eval in ONE dispatch: tables fold by the previous round's
+    challenge, then the NEXT round's evals come off the folded tables.
+    Strided layout keeps both halves of every fold pair device-local.
+    """
+
+    def local(T, A, B, C, r):
+        T, A, B, C = T[0], A[0], B[0], C[0]
+        Tn = _local_fold(T, r)
+        An = _local_fold(A, r)
+        Bn = _local_fold(B, r)
+        Cn = _local_fold(C, r)
+        e0, e2, e3 = _local_cubic_additive(Tn, An, Bn, Cn)
+        e0, e2, e3 = psum_field(e0), psum_field(e2), psum_field(e3)
+        return Tn[None], An[None], Bn[None], Cn[None], e0, e2, e3
+
+    sharded = P(SHARD_AXIS, None, None)
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(sharded, sharded, sharded, sharded, P(None)),
+        out_specs=(sharded, sharded, sharded, sharded, P(None), P(None), P(None)),
+        check_rep=False,
+    )
+
+
+def make_quad_step(mesh):
+    """jittable (A, B, r) -> (A', B', e0, e2): fused phase-2 round step."""
+
+    def local(A, B, r):
+        An = _local_fold(A[0], r)
+        Bn = _local_fold(B[0], r)
+        aL, aH = _halves(An)
+        bL, bH = _halves(Bn)
+        a2, _ = _extrapolate(aL, aH)
+        b2, _ = _extrapolate(bL, bH)
+        e0 = psum_field(fr.reduce_sum(fr.mul(aL, bL), axis=0))
+        e2 = psum_field(fr.reduce_sum(fr.mul(a2, b2), axis=0))
+        return An[None], Bn[None], e0, e2
+
+    sharded = P(SHARD_AXIS, None, None)
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(sharded, sharded, P(None)),
+        out_specs=(sharded, sharded, P(None), P(None)),
+        check_rep=False,
+    )
+
+
+def _local_cubic_prod(A, B, C):
+    """Local partials of product-comb round evals (sum A*B*C)."""
+    aL, aH = _halves(A)
+    bL, bH = _halves(B)
+    cL, cH = _halves(C)
+    a2, a3 = _extrapolate(aL, aH)
+    b2, b3 = _extrapolate(bL, bH)
+    c2, c3 = _extrapolate(cL, cH)
+    e0 = fr.reduce_sum(fr.mul(fr.mul(aL, bL), cL), axis=0)
+    e2 = fr.reduce_sum(fr.mul(fr.mul(a2, b2), c2), axis=0)
+    e3 = fr.reduce_sum(fr.mul(fr.mul(a3, b3), c3), axis=0)
+    return e0, e2, e3
+
+
+def _batched_evals_local(TA, TB, TC, Cp, nP):
+    """Per-instance (e0,e2,e3) stacked [3I, 16] in transcript order."""
+    outs = []
+    for k in range(len(TA)):
+        Ck = Cp if k < nP else TC[k - nP]
+        for e in _local_cubic_prod(TA[k], TB[k], Ck):
+            outs.append(psum_field(e))
+    return jnp.stack(outs, axis=0)
+
+
+def make_batched_evals(mesh, nP: int):
+    """jittable (TA, TB, TC, Cp) -> [3I, 16] replicated round evals.
+
+    TA/TB are length-I lists of strided-sharded tables; the first nP
+    instances share the eq table Cp, the rest use per-instance TC. The
+    batched analog of ``make_cubic_evals`` for the product-tree layered
+    sumchecks (product_tree.rs:251-392).
+    """
+
+    def local(TA, TB, TC, Cp):
+        return _batched_evals_local(
+            [t[0] for t in TA], [t[0] for t in TB],
+            [t[0] for t in TC], Cp[0], nP)
+
+    sharded = P(SHARD_AXIS, None, None)
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(sharded, sharded, sharded, sharded),
+        out_specs=P(None),
+        check_rep=False,
+    )
+
+
+def make_batched_step(mesh, nP: int):
+    """jittable (TA, TB, TC, Cp, r) -> (TA', TB', TC', Cp', evals[3I,16]).
+
+    Fold every table by r then compute the next round's evals — one
+    dispatch for the whole instance batch.
+    """
+
+    def local(TA, TB, TC, Cp, r):
+        TA = [_local_fold(t[0], r) for t in TA]
+        TB = [_local_fold(t[0], r) for t in TB]
+        TC = [_local_fold(t[0], r) for t in TC]
+        Cp = _local_fold(Cp[0], r)
+        ev = _batched_evals_local(TA, TB, TC, Cp, nP)
+        return ([t[None] for t in TA], [t[None] for t in TB],
+                [t[None] for t in TC], Cp[None], ev)
+
+    sharded = P(SHARD_AXIS, None, None)
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(sharded, sharded, sharded, sharded, P(None)),
+        out_specs=(sharded, sharded, sharded, sharded, P(None)),
+        check_rep=False,
+    )
+
+
+def make_batched_fold(mesh):
+    """jittable (TA, TB, TC, Cp, r) -> folded tables (strided preserved)."""
+
+    def local(TA, TB, TC, Cp, r):
+        return ([_local_fold(t[0], r)[None] for t in TA],
+                [_local_fold(t[0], r)[None] for t in TB],
+                [_local_fold(t[0], r)[None] for t in TC],
+                _local_fold(Cp[0], r)[None])
+
+    sharded = P(SHARD_AXIS, None, None)
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(sharded, sharded, sharded, sharded, P(None)),
+        out_specs=(sharded, sharded, sharded, sharded),
+        check_rep=False,
+    )
+
+
 def make_cubic_round(mesh):
     """Returns jittable fn(T, A, B, C, r) -> (e0, e2, e3, T', A', B', C').
 

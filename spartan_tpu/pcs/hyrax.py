@@ -55,7 +55,8 @@ class PolyCommitment:
         transcript.append_message(label, b"poly_commitment_end")
 
 
-def commit_poly(poly: DensePolynomial, gens: PolyCommitmentGens, random_tape=None):
+def commit_poly(poly: DensePolynomial, gens: PolyCommitmentGens, random_tape=None,
+                mesh=None):
     """Commit Z row-by-row; blinds from the tape or zero (hyrax.rs:283-308).
 
     The reference's rayon-parallel ``commit_inner`` hot loop
@@ -82,7 +83,7 @@ def commit_poly(poly: DensePolynomial, gens: PolyCommitmentGens, random_tape=Non
 
     Z = poly.Z.reshape(L_size, R_size, -1)
     blinds_mont = F.encode_fr(blinds)
-    pts = commit_rows(Z, blinds_mont, gens.gens.gens_n)
+    pts = commit_rows(Z, blinds_mont, gens.gens.gens_n, mesh=mesh)
     C = [GroupElem(p) for p in CJ.decode_points(pts)]
     return PolyCommitment(C), PolyCommitmentBlinds(blinds)
 

@@ -176,9 +176,10 @@ class SNARK:
     PROTOCOL = b"Spartan SNARK proof"
 
     @staticmethod
-    def encode(inst: Instance, gens: SNARKGens) -> tuple[R1CSCommitment, R1CSDecommitment]:
+    def encode(inst: Instance, gens: SNARKGens,
+               mesh=None) -> tuple[R1CSCommitment, R1CSDecommitment]:
         """Preprocessing: commit the R1CS matrices (snark.rs:416-425)."""
-        return inst.inst.commit(gens.gens_r1cs_eval)
+        return inst.inst.commit(gens.gens_r1cs_eval, mesh=mesh)
 
     @staticmethod
     def prove(inst: Instance, comm: R1CSCommitment, decomm: R1CSDecommitment,
@@ -199,7 +200,8 @@ class SNARK:
         )
         inst_evals = inst.inst.evaluate(rx, ry)
         r1cs_eval_proof = R1CSEvalProof.prove(
-            decomm, rx, ry, inst_evals, gens.gens_r1cs_eval, transcript, tape)
+            decomm, rx, ry, inst_evals, gens.gens_r1cs_eval, transcript, tape,
+            mesh=mesh)
         return SNARK(r1cs_sat_proof, inst_evals, r1cs_eval_proof)
 
     def verify(self, comm: R1CSCommitment, input_: Assignment,

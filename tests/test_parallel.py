@@ -102,6 +102,55 @@ def test_sharded_nizk_prove_bit_identical(mesh):
     p2.verify(inst, ia, Transcript(b"mesh_test"), gens)
 
 
+def test_sharded_snark_prove_bit_identical(mesh, monkeypatch):
+    """FULL SNARK (sat proof + lookup argument) proved over the mesh must
+    byte-equal the single-device proof: covers the batched layered
+    sumchecks (_BatchedMeshTables), both ZK sumcheck phases, and the
+    sharded matrix/derefs commits. HOST_N is shrunk so the mesh paths
+    engage at CI-friendly sizes."""
+    from spartan_tpu.core import hostpath as HP
+    from spartan_tpu.io.keyless_bench import synthetic
+    from spartan_tpu.snark import SNARK, SNARKGens
+    from spartan_tpu.utils.random_tape import RandomTape
+    from spartan_tpu.utils.serialization import serialize
+    from spartan_tpu.utils.transcript import Transcript
+
+    # engage the mesh above 64 while the sub-64 tail stays on the fast
+    # host path (HOST_N=16 pushed ~40 tiny per-shape compiles onto the
+    # 8-virtual-device CPU and took >30 min)
+    monkeypatch.setattr(HP, "HOST_N", 64)
+
+    inst, vars_, inputs, max_nnz = synthetic(7, seed=3)
+    n = inst.inst.num_cons
+    gens = SNARKGens(n, n, 1, max_nnz)
+    comm, decomm = SNARK.encode(inst, gens)
+    comm_m, _ = SNARK.encode(inst, gens, mesh=mesh)
+    assert serialize(comm.comm) == serialize(comm_m.comm)
+
+    seed = b"\x0b" * 32
+    p1 = SNARK.prove(inst, comm, decomm, vars_, inputs, gens,
+                     Transcript(b"mesh_snark"), RandomTape(b"snark_proof", seed=seed))
+    p2 = SNARK.prove(inst, comm, decomm, vars_, inputs, gens,
+                     Transcript(b"mesh_snark"), RandomTape(b"snark_proof", seed=seed),
+                     mesh=mesh)
+    assert serialize(p1) == serialize(p2)
+    p2.verify(comm, inputs, Transcript(b"mesh_snark"), gens)
+
+
+def test_sharded_commit_rows_matches(mesh):
+    from spartan_tpu.core.commitments import MultiCommitGens, commit_rows
+
+    L, R = 16, 32
+    gens = MultiCommitGens(R, b"test_commit_rows_sharded")
+    Z = [[random.randrange(fh.FR_MOD) for _ in range(R)] for _ in range(L)]
+    blinds = [random.randrange(fh.FR_MOD) for _ in range(L)]
+    Zd = F.encode_fr([v for row in Z for v in row]).reshape(L, R, 16)
+    bd = F.encode_fr(blinds)
+    ref = commit_rows(Zd, bd, gens)
+    got = commit_rows(Zd, bd, gens, mesh=mesh)
+    assert CJ.decode_points(ref) == CJ.decode_points(got)
+
+
 def test_sharded_msm_matches_host(mesh):
     M = 32
     scalars = [random.randrange(fh.FR_MOD) for _ in range(M)]

@@ -1,0 +1,139 @@
+"""Speed-of-light accounting for the hot kernels (BASELINE.md requirement).
+
+Measures each kernel on the current backend and compares against
+analytical floors (HBM bytes moved at ~820 GB/s on v5e, and lane-op
+counts at the measured VPU rates from spartan_tpu/ops/pallas_field.py).
+Writes a markdown table to docs/SPEED_OF_LIGHT.md (or stdout with --dry).
+
+Run on the real chip:
+    python tools/sol_report.py [--n 1048576] [--out docs/SPEED_OF_LIGHT.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+# v5e published/probed machine rates
+HBM_GBPS = 820.0          # HBM bandwidth
+MUL_OPS = 260e9           # u32 multiply lane-ops/s (probed)
+ALU_OPS = 116e9           # shift/mask lane-ops/s (probed)
+
+# lane-op cost models per element (from kernel structure):
+#   mont mul: 16x16 u32 products with lo/hi split (~512 mul-ops) +
+#             REDC 16 rounds (~256 mul + ~2k alu)
+KERNELS = {
+    "fr.mul (mont)":        dict(mul=768, alu=2048, bytes=3 * 64),
+    "fr.add":               dict(mul=0, alu=120, bytes=3 * 64),
+    "fold_top (bound var)": dict(mul=768, alu=2200, bytes=3 * 64),
+    "cubic round evals":    dict(mul=768 * 8, alu=2048 * 8, bytes=4 * 64),
+    "curve padd (RCB)":     dict(mul=768 * 12, alu=2048 * 14, bytes=6 * 3 * 32),
+    "eq table build":       dict(mul=768, alu=2100, bytes=2 * 64),
+}
+
+
+def measure(n: int):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spartan_tpu.core import sumcheck as SC
+    from spartan_tpu.core.mle import EqPolynomial
+    from spartan_tpu.ops import curve_jax as CJ
+    from spartan_tpu.ops import field_jax as F
+
+    fr = F.fr
+    rng = np.random.default_rng(0)
+
+    def t(fn, *args, reps=5):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(*args)
+            jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / reps
+
+    a = F.encode_small_uints(rng.integers(1, 1 << 62, size=n, dtype=np.uint64))
+    b = F.encode_small_uints(rng.integers(1, 1 << 62, size=n, dtype=np.uint64))
+    r = F.encode_fr([123456789])[0]
+
+    mul_jit = jax.jit(fr.mul)
+    add_jit = jax.jit(fr.add)
+    results = {}
+    results["fr.mul (mont)"] = (t(mul_jit, a, b), n)
+    results["fr.add"] = (t(add_jit, a, b), n)
+    results["fold_top (bound var)"] = (t(SC.k_fold_top, a, r), n)
+    results["cubic round evals"] = (
+        t(SC.k_cubic_prod_evals, a, b, a), n)
+
+    # curve padd at n/4 points (3 coords each)
+    m = max(n // 4, 1 << 12)
+    from spartan_tpu.core.commitments import points_from_scalars
+
+    pts = points_from_scalars([int(x) for x in rng.integers(1, 1 << 48, size=m)])
+    pp = CJ.from_affine(*pts)
+    padd_jit = jax.jit(CJ.padd)
+    results["curve padd (RCB)"] = (t(padd_jit, pp, pp), m)
+
+    ell = max(int(n).bit_length() - 1, 10)
+    eq = EqPolynomial([123 + i for i in range(ell)])
+    results["eq table build"] = (t(lambda: eq.evals_device(), reps=3), 1 << ell)
+    return results
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1 << 20)
+    ap.add_argument("--out", default="docs/SPEED_OF_LIGHT.md")
+    ap.add_argument("--dry", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    backend = jax.default_backend()
+    results = measure(args.n)
+
+    lines = [
+        "# Speed-of-light accounting",
+        "",
+        f"Backend: **{backend}**, element count 2^{args.n.bit_length()-1}, "
+        f"floors from {HBM_GBPS:.0f} GB/s HBM and probed VPU rates "
+        f"({MUL_OPS/1e9:.0f}G mul-ops/s, {ALU_OPS/1e9:.0f}G alu-ops/s).",
+        "",
+        "| kernel | bytes/elt | lane-ops/elt | floor ns/elt | measured ns/elt | % of SoL |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name, (dt, count) in results.items():
+        model = KERNELS[name]
+        t_hbm = model["bytes"] / (HBM_GBPS * 1e9)
+        t_alu = model["mul"] / MUL_OPS + model["alu"] / ALU_OPS
+        floor = max(t_hbm, t_alu) * 1e9
+        meas = dt / count * 1e9
+        pct = 100.0 * floor / meas if meas > 0 else 0.0
+        lines.append(
+            f"| {name} | {model['bytes']} | {model['mul']}m+{model['alu']}a "
+            f"| {floor:.1f} | {meas:.1f} | {pct:.0f}% |")
+    lines += [
+        "",
+        "Floor = max(HBM time, ALU time) per element. Montgomery-pipeline",
+        "kernels are ALU-bound on v5e (the 16-limb product-scan + REDC is",
+        "~2.8k lane-ops against only 192 bytes moved); elementwise add and",
+        "the fold are HBM-bound. Regenerate: `python tools/sol_report.py`.",
+    ]
+    text = "\n".join(lines) + "\n"
+    if args.dry:
+        print(text)
+    else:
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            f.write(text)
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
