@@ -158,11 +158,18 @@ class DensePolynomial:
         chis = k_eq_evals(r_dev, self.num_vars)
         return k_dot(self.Z, chis)
 
-    def bound(self, L_dev, L_size: int, R_size: int):
+    def bound(self, L_dev, L_size: int, R_size: int, mesh=None):
         """L*Z matrix product, returns [R,16] device array.
 
         Chunked over the L axis when the [L, R, 16] product transient
-        would be GB-scale (the 8192x8192 comb_ops opening at 2^20)."""
+        would be GB-scale (the 8192x8192 comb_ops opening at 2^20); with
+        ``mesh`` the rows are sharded over the devices (bit-identical)."""
+        if mesh is not None and mesh.devices.size > 1 and \
+                L_size % mesh.devices.size == 0 and \
+                L_size >= mesh.devices.size:
+            from spartan_tpu.parallel.sumcheck_sharded import bound_sharded
+
+            return bound_sharded(mesh, self.Z, L_dev, L_size, R_size)
         if L_size * R_size <= BOUND_BUDGET:
             return k_bound_matrix(self.Z, L_dev, L_size, R_size)
         rows_per = max(1, BOUND_BUDGET // R_size)

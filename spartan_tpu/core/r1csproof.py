@@ -179,7 +179,7 @@ class R1CSProof:
         blind_eval = random_tape.random_scalar(b"blind_eval")
         proof_eval_vars_at_ry, comm_vars_at_ry = PolyEvalProof.prove(
             poly_vars, blinds_vars, ry[1:], eval_vars_at_ry, blind_eval,
-            gens.gens_pc, transcript, random_tape,
+            gens.gens_pc, transcript, random_tape, mesh=mesh,
         )
         timer_polyeval.stop()
 

@@ -382,7 +382,8 @@ class DerefsEvalProof:
 
     @staticmethod
     def prove(derefs: Derefs, eval_row_ops_val: list[int], eval_col_ops_val: list[int],
-              r: list[int], gens, transcript, random_tape) -> "DerefsEvalProof":
+              r: list[int], gens, transcript, random_tape,
+              mesh=None) -> "DerefsEvalProof":
         transcript.append_protocol_name(DerefsEvalProof._protocol_name(gens))
         evals = list(eval_row_ops_val) + list(eval_col_ops_val)
         evals += [0] * (next_power_of_two(len(evals)) - len(evals))
@@ -396,7 +397,7 @@ class DerefsEvalProof:
         if isinstance(gens, PolyCommitmentGens):
             proof, _ = PolyEvalProof.prove(
                 derefs.comb, None, r_joint, joint_claim_eval, None,
-                gens, transcript, random_tape)
+                gens, transcript, random_tape, mesh=mesh)
         else:
             proof = gens.prove_eval(derefs.comb, r_joint, joint_claim_eval, transcript)
         return DerefsEvalProof(proof)
@@ -520,7 +521,8 @@ class HashLayerProof:
 
     @staticmethod
     def prove(rand: tuple[list[int], list[int]], dense: MultiSparseMatPolynomialAsDense,
-              derefs: Derefs, gens: SparseMatPolyCommitmentGens, transcript, random_tape):
+              derefs: Derefs, gens: SparseMatPolyCommitmentGens, transcript, random_tape,
+              mesh=None):
         from spartan_tpu.utils.timer import Timer
 
         transcript.append_protocol_name(HashLayerProof.PROTOCOL)
@@ -533,7 +535,7 @@ class HashLayerProof:
         timer_derefs = Timer("derefs_eval_proof")
         proof_derefs = DerefsEvalProof.prove(
             derefs, eval_row_ops_val, eval_col_ops_val, rand_ops,
-            gens.gens_derefs, transcript, random_tape)
+            gens.gens_derefs, transcript, random_tape, mesh=mesh)
         timer_derefs.stop()
         derefs.release_comb()
         eval_derefs = (eval_row_ops_val, eval_col_ops_val)
@@ -565,7 +567,7 @@ class HashLayerProof:
         timer_ops = Timer("comb_ops_open")
         proof_ops, _ = PolyEvalProof.prove(
             dense.comb_ops, None, r_joint_ops, joint_claim_eval_ops, None,
-            gens.gens_ops, transcript, random_tape)
+            gens.gens_ops, transcript, random_tape, mesh=mesh)
         timer_ops.stop()
 
         evals_mem = [eval_row_audit_ts, eval_col_audit_ts]
@@ -576,7 +578,7 @@ class HashLayerProof:
         transcript.append_scalar(b"joint_claim_eval_mem", joint_claim_eval_mem)
         proof_mem, _ = PolyEvalProof.prove(
             dense.comb_mem, None, r_joint_mem, joint_claim_eval_mem, None,
-            gens.gens_mem, transcript, random_tape)
+            gens.gens_mem, transcript, random_tape, mesh=mesh)
 
         return HashLayerProof(
             eval_row=(eval_row_addr, eval_row_read_ts, eval_row_audit_ts),
@@ -888,7 +890,8 @@ class PolyEvalNetworkProof:
         timer_prod.stop()
         timer_hash = Timer("hash_layer_proof")
         proof_hash_layer = HashLayerProof.prove(
-            (rand_mem, rand_ops), dense, derefs, gens, transcript, random_tape)
+            (rand_mem, rand_ops), dense, derefs, gens, transcript, random_tape,
+            mesh=mesh)
         timer_hash.stop()
         return PolyEvalNetworkProof(proof_prod_layer, proof_hash_layer)
 

@@ -1,6 +1,7 @@
 from spartan_tpu.parallel.mesh import SHARD_AXIS, make_mesh, replicate, shard_table
-from spartan_tpu.parallel.msm_sharded import msm_sharded
+from spartan_tpu.parallel.msm_sharded import commit_rows_sharded, msm_sharded
 from spartan_tpu.parallel.sumcheck_sharded import (
+    bound_sharded,
     from_strided,
     make_cubic_round,
     psum_field,
@@ -13,6 +14,8 @@ __all__ = [
     "replicate",
     "shard_table",
     "msm_sharded",
+    "commit_rows_sharded",
+    "bound_sharded",
     "make_cubic_round",
     "to_strided",
     "from_strided",

@@ -181,6 +181,28 @@ def make_quad_step(mesh):
     )
 
 
+def bound_sharded(mesh, Z, L_dev, L_size: int, R_size: int):
+    """LZ[j] = sum_i L[i] * Z[i*R+j] with the L (row) axis sharded.
+
+    The Hyrax opening hot op (hyrax.rs:311-324): each device reduces its
+    row block, one exact field psum joins them — values identical to the
+    single-device ``k_bound_matrix``.
+    """
+    M = Z.reshape(L_size, R_size, NUM_LIMBS)
+
+    def local(m, l):
+        part = fr.reduce_sum(fr.mul(l[:, None, :], m), axis=0)
+        return psum_field(part)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(SHARD_AXIS, None, None), P(SHARD_AXIS, None)),
+        out_specs=P(None, None),
+        check_rep=False,
+    )
+    return jax.jit(fn)(M, L_dev)
+
+
 def _local_cubic_prod(A, B, C):
     """Local partials of product-comb round evals (sum A*B*C)."""
     aL, aH = _halves(A)

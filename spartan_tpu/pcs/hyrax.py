@@ -99,7 +99,7 @@ class PolyEvalProof:
     @staticmethod
     def prove(poly: DensePolynomial, blinds: PolyCommitmentBlinds | None,
               r: list[int], Zr: int, blind_Zr: int | None,
-              gens: PolyCommitmentGens, transcript, random_tape):
+              gens: PolyCommitmentGens, transcript, random_tape, mesh=None):
         transcript.append_protocol_name(PolyEvalProof.PROTOCOL)
         assert poly.num_vars == len(r)
 
@@ -121,7 +121,7 @@ class PolyEvalProof:
                        for j in range(R_size)]
             LZ = F.encode_fr(LZ_host)
         else:
-            LZ = poly.bound(L_dev, L_size, R_size)
+            LZ = poly.bound(L_dev, L_size, R_size, mesh=mesh)
             L_host = F.decode_fr(L_dev)
         LZ_blind = sum(b * l for b, l in zip(blind_vals, L_host)) % FR_MOD
 
