@@ -16,7 +16,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from spartan_tpu.ops import curve_jax as C
 from spartan_tpu.ops import msm as MSM
@@ -54,7 +54,7 @@ def commit_rows_sharded(mesh, Z_mont, blinds_mont, gens_points):
         in_specs=(P(SHARD_AXIS, None, None), P(SHARD_AXIS, None),
                   P(None, None), P(None, None), P(None)),
         out_specs=(P(SHARD_AXIS, None),) * 3,
-        check_rep=False,
+        check_vma=False,
     )
     out = jax.jit(fn)(Z_mont, blinds_mont, *gens_points)
     return tuple(a[:L] for a in out)
@@ -84,7 +84,7 @@ def msm_sharded(mesh, points, scalars, c: int = 8):
         local, mesh=mesh,
         in_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS, None), shard, P(SHARD_AXIS, None)),
         out_specs=(P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     px, py, pinf = points
     return fn(px, py, pinf, scalars)

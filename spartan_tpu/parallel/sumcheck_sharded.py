@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from spartan_tpu.core.sumcheck import _extrapolate
 from spartan_tpu.ops import field_jax as F
@@ -91,7 +91,7 @@ def make_cubic_evals(mesh):
         local, mesh=mesh,
         in_specs=(sharded, sharded, sharded, sharded),
         out_specs=(P(None), P(None), P(None)),
-        check_rep=False,
+        check_vma=False,
     )
 
 
@@ -112,7 +112,7 @@ def make_quad_evals(mesh):
         local, mesh=mesh,
         in_specs=(sharded, sharded),
         out_specs=(P(None), P(None)),
-        check_rep=False,
+        check_vma=False,
     )
 
 
@@ -127,7 +127,7 @@ def make_fold(mesh):
         local, mesh=mesh,
         in_specs=(sharded, P(None)),
         out_specs=sharded,
-        check_rep=False,
+        check_vma=False,
     )
 
 
@@ -154,7 +154,7 @@ def make_cubic_step(mesh):
         local, mesh=mesh,
         in_specs=(sharded, sharded, sharded, sharded, P(None)),
         out_specs=(sharded, sharded, sharded, sharded, P(None), P(None), P(None)),
-        check_rep=False,
+        check_vma=False,
     )
 
 
@@ -177,7 +177,7 @@ def make_quad_step(mesh):
         local, mesh=mesh,
         in_specs=(sharded, sharded, P(None)),
         out_specs=(sharded, sharded, P(None), P(None)),
-        check_rep=False,
+        check_vma=False,
     )
 
 
@@ -198,7 +198,7 @@ def bound_sharded(mesh, Z, L_dev, L_size: int, R_size: int):
         local, mesh=mesh,
         in_specs=(P(SHARD_AXIS, None, None), P(SHARD_AXIS, None)),
         out_specs=P(None, None),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)(M, L_dev)
 
@@ -246,7 +246,7 @@ def make_batched_evals(mesh, nP: int):
         local, mesh=mesh,
         in_specs=(sharded, sharded, sharded, sharded),
         out_specs=P(None),
-        check_rep=False,
+        check_vma=False,
     )
 
 
@@ -271,7 +271,7 @@ def make_batched_step(mesh, nP: int):
         local, mesh=mesh,
         in_specs=(sharded, sharded, sharded, sharded, P(None)),
         out_specs=(sharded, sharded, sharded, sharded, P(None)),
-        check_rep=False,
+        check_vma=False,
     )
 
 
@@ -289,7 +289,7 @@ def make_batched_fold(mesh):
         local, mesh=mesh,
         in_specs=(sharded, sharded, sharded, sharded, P(None)),
         out_specs=(sharded, sharded, sharded, sharded),
-        check_rep=False,
+        check_vma=False,
     )
 
 
@@ -317,5 +317,5 @@ def make_cubic_round(mesh):
         local, mesh=mesh,
         in_specs=(sharded, sharded, sharded, sharded, P(None)),
         out_specs=(P(None), P(None), P(None), sharded, sharded, sharded, sharded),
-        check_rep=False,
+        check_vma=False,
     )
