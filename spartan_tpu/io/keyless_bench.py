@@ -107,12 +107,19 @@ def run(inst, vars_, inputs, max_nnz, pcs: str = "hyrax", json_out: bool = False
     comm, decomm = SNARK.encode(inst, gens, mesh=mesh)
     report["encode_s"] = time.perf_counter() - t0
 
+    from spartan_tpu.utils.timer import Timer
+
     t0 = time.perf_counter()
     tape = RandomTape(b"snark_proof")
     pt = Transcript(b"keyless_bench")
+    Timer.collect()
     proof = SNARK.prove(inst, comm, decomm, vars_, inputs, gens, pt, tape,
                         mesh=mesh)
     report["prove_s"] = time.perf_counter() - t0
+    report["prove_phases"] = [
+        {"depth": d, "label": lbl, "s": round(dt, 4)}
+        for d, lbl, dt in Timer.records()]
+    Timer.collect(False)
 
     t0 = time.perf_counter()
     vt = Transcript(b"keyless_bench")
@@ -136,6 +143,9 @@ def run(inst, vars_, inputs, max_nnz, pcs: str = "hyrax", json_out: bool = False
         print(f"  proof size {report['proof_bytes']/1024:.1f} KB "
               f"(reference at keyless 2^20 scale: "
               f"{report['ref_proof_bytes_keyless']/1024:.1f} KB)")
+        print("  prove phase breakdown:")
+        for ph in report["prove_phases"]:
+            print(f"    {'  ' * ph['depth']}{ph['label']:40s} {ph['s']:9.2f} s")
         print("  verification: OK")
     return report
 
