@@ -32,6 +32,21 @@ def _k_mul(a, b):
     return fr.mul(a, b)
 
 
+_tree_level_cache: dict = {}
+
+
+def _get_tree_level(mesh):
+    """One jitted sharded tree-level fn per mesh (12+ circuits share it,
+    so equal layer shapes hit one compilation instead of one each)."""
+    fn = _tree_level_cache.get(mesh)
+    if fn is None:
+        from spartan_tpu.parallel.sumcheck_sharded import make_tree_level
+
+        fn = jax.jit(make_tree_level(mesh))
+        _tree_level_cache[mesh] = fn
+    return fn
+
+
 class ProductCircuit:
     """Binary product tree by left/right layer tables (product_tree.rs:15-65).
 
@@ -47,7 +62,7 @@ class ProductCircuit:
     CHECKPOINT_MAX = 1 << 16
 
     def __init__(self, poly: DensePolynomial | None = None, *, leaf_fn=None,
-                 checkpoint_max: int | None = None):
+                 checkpoint_max: int | None = None, mesh=None):
         cp_max = checkpoint_max if checkpoint_max is not None \
             else ProductCircuit.CHECKPOINT_MAX
         if poly is not None:
@@ -59,29 +74,74 @@ class ProductCircuit:
         n = Z.shape[0]
         self.num_layers = log_2(n)
         self._cp: dict[int, tuple] = {}
-        half = n // 2
-        left, right = Z[:half], Z[half: 2 * half]
+        self._cp_max = cp_max
+        self._mesh = None
+        self._level = None
+        if mesh is not None and mesh.devices.size > 1 and \
+                self._leaf_fn is not None and n > cp_max and \
+                n % (2 * mesh.devices.size) == 0:
+            # big lazy tree: every level above cp_max is one local multiply
+            # per device (strided layout, zero communication); the small
+            # upper layers gather once and checkpoint as usual
+            self._mesh = mesh
+            self._level = _get_tree_level(mesh)
+
+        for i, (sharded, t) in enumerate(self._walk(Z)):
+            if self._leaf_fn is None or (n >> i) <= cp_max:
+                tl = self._gather(t) if sharded else t
+                half = tl.shape[0] // 2
+                self._cp[i] = (tl[:half], tl[half: 2 * half])
+
+    def _gather(self, t):
+        from spartan_tpu.parallel.sumcheck_sharded import from_strided
+
+        return from_strided(t)
+
+    def _walk(self, Z):
+        """Yield (is_sharded, full layer table) for every layer, bottom-up.
+
+        Sharded tables are [D, m/D, 16] strided; the walk hands off to a
+        single device once the next level is at/below the checkpoint size
+        (or loses stride divisibility)."""
+        n = Z.shape[0]
+        sharded = self._mesh is not None
+        if sharded:
+            from spartan_tpu.parallel.mesh import shard_table
+            from spartan_tpu.parallel.sumcheck_sharded import to_strided
+
+            D = self._mesh.devices.size
+            cur = shard_table(self._mesh, to_strided(Z, D))
+        else:
+            cur = Z
+        m = n
         for i in range(self.num_layers):
-            if self._leaf_fn is None or 2 * left.shape[0] <= cp_max:
-                self._cp[i] = (left, right)
-            if i + 1 < self.num_layers:
-                prod = _k_mul(left, right)
-                q = prod.shape[0] // 2
-                left, right = prod[:q], prod[q:]
+            yield sharded, cur
+            if i + 1 == self.num_layers:
+                break
+            if sharded:
+                nxt = m // 2
+                if nxt > self._cp_max and nxt % (2 * D) == 0:
+                    cur = self._level(cur)
+                else:
+                    t = self._gather(cur)
+                    cur = _k_mul(t[: nxt], t[nxt: 2 * nxt])
+                    sharded = False
+            else:
+                half = cur.shape[0] // 2
+                cur = _k_mul(cur[:half], cur[half: 2 * half])
+            m //= 2
 
     def layer(self, i: int) -> tuple[DensePolynomial, DensePolynomial]:
         """(left, right) tables of layer ``i`` (0 = leaves)."""
         if i in self._cp:
             l, r = self._cp[i]
             return DensePolynomial(l), DensePolynomial(r)
-        Z = self._leaf_fn()
-        half = Z.shape[0] // 2
-        left, right = Z[:half], Z[half: 2 * half]
-        for _ in range(i):
-            prod = _k_mul(left, right)
-            q = prod.shape[0] // 2
-            left, right = prod[:q], prod[q:]
-        return DensePolynomial(left), DensePolynomial(right)
+        for j, (sharded, t) in enumerate(self._walk(self._leaf_fn())):
+            if j == i:
+                tl = self._gather(t) if sharded else t
+                half = tl.shape[0] // 2
+                return DensePolynomial(tl[:half]), DensePolynomial(tl[half: 2 * half])
+        raise IndexError(i)
 
     def layer_len(self, i: int) -> int:
         return 1 << (self.num_layers - 1 - i)

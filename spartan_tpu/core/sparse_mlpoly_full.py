@@ -438,7 +438,8 @@ class Layers:
     """Hash layer build + product circuits (sparse_mlpoly_full.rs:744-841)."""
 
     def __init__(self, eval_table_dev, addr_timestamps: AddrTimestamps,
-                 poly_ops_val: list[DensePolynomial], r_mem_check: tuple[int, int]):
+                 poly_ops_val: list[DensePolynomial], r_mem_check: tuple[int, int],
+                 mesh=None):
         r_hash, r_multiset_check = r_mem_check
         rh = F.encode_fr([r_hash])[0]
         rh2 = F.encode_fr([r_hash * r_hash % FR_MOD])[0]
@@ -466,7 +467,7 @@ class Layers:
 
         def circuit(fn, lazy):
             if lazy:
-                return ProductCircuit(leaf_fn=fn)
+                return ProductCircuit(leaf_fn=fn, mesh=mesh)
             return ProductCircuit(DensePolynomial(fn()))
 
         read_vec, write_vec = [], []
@@ -492,9 +493,11 @@ class Layers:
 
 class PolyEvalNetwork:
     def __init__(self, dense: MultiSparseMatPolynomialAsDense, derefs: Derefs,
-                 mem_rx_dev, mem_ry_dev, r_mem_check: tuple[int, int]):
-        self.row_layers = Layers(mem_rx_dev, dense.row, derefs.row_ops_val, r_mem_check)
-        self.col_layers = Layers(mem_ry_dev, dense.col, derefs.col_ops_val, r_mem_check)
+                 mem_rx_dev, mem_ry_dev, r_mem_check: tuple[int, int], mesh=None):
+        self.row_layers = Layers(mem_rx_dev, dense.row, derefs.row_ops_val,
+                                 r_mem_check, mesh=mesh)
+        self.col_layers = Layers(mem_ry_dev, dense.col, derefs.col_ops_val,
+                                 r_mem_check, mesh=mesh)
 
 
 @dataclass
@@ -965,7 +968,7 @@ class SparseMatPolyEvalProof:
         r_mem_check = transcript.challenge_vector(b"challenge_r_hash", 2)
         timer_net = Timer("network_construction")
         net = PolyEvalNetwork(dense, derefs, mem_rx, mem_ry,
-                              (r_mem_check[0], r_mem_check[1]))
+                              (r_mem_check[0], r_mem_check[1]), mesh=mesh)
         timer_net.stop()
         timer_proof = Timer("network_proof")
         network_proof = PolyEvalNetworkProof.prove(

@@ -181,6 +181,26 @@ def make_quad_step(mesh):
     )
 
 
+def make_tree_level(mesh):
+    """jittable sharded-table -> sharded-table product-tree level.
+
+    prod[i] = Z[i] * Z[i + n/2]: in the strided layout both factors are
+    device-local (same trick as the sumcheck fold), so building a product
+    tree is log n local multiplies with zero communication.
+    """
+
+    def local(Z):
+        z = Z[0]
+        half = z.shape[0] // 2
+        return fr.mul(z[:half], z[half:])[None]
+
+    sharded = P(SHARD_AXIS, None, None)
+    return shard_map(
+        local, mesh=mesh, in_specs=(sharded,), out_specs=sharded,
+        check_vma=False,
+    )
+
+
 def bound_sharded(mesh, Z, L_dev, L_size: int, R_size: int):
     """LZ[j] = sum_i L[i] * Z[i*R+j] with the L (row) axis sharded.
 

@@ -119,6 +119,11 @@ def test_sharded_snark_prove_bit_identical(mesh, monkeypatch):
     # host path (HOST_N=16 pushed ~40 tiny per-shape compiles onto the
     # 8-virtual-device CPU and took >30 min)
     monkeypatch.setattr(HP, "HOST_N", 64)
+    # shrink the tree checkpoint size so the SHARDED product-tree
+    # construction path also runs inside this e2e
+    from spartan_tpu.core.product_tree import ProductCircuit
+
+    monkeypatch.setattr(ProductCircuit, "CHECKPOINT_MAX", 32)
 
     inst, vars_, inputs, max_nnz = synthetic(7, seed=3)
     n = inst.inst.num_cons
@@ -135,6 +140,23 @@ def test_sharded_snark_prove_bit_identical(mesh, monkeypatch):
                      mesh=mesh)
     assert serialize(p1) == serialize(p2)
     p2.verify(comm, inputs, Transcript(b"mesh_snark"), gens)
+
+
+def test_sharded_product_tree_matches(mesh):
+    """Sharded tree construction must reproduce every layer exactly."""
+    from spartan_tpu.core.product_tree import ProductCircuit
+
+    vals = [random.randrange(1, fh.FR_MOD) for _ in range(256)]
+    Z = F.encode_fr(vals)
+    c1 = ProductCircuit(leaf_fn=lambda: Z, checkpoint_max=32)
+    c2 = ProductCircuit(leaf_fn=lambda: Z, checkpoint_max=32, mesh=mesh)
+    assert c2._mesh is not None  # the sharded path actually engaged
+    assert c1.evaluate() == c2.evaluate()
+    for i in range(c1.num_layers):
+        l1, r1 = c1.layer(i)
+        l2, r2 = c2.layer(i)
+        assert F.decode_fr(l1.Z) == F.decode_fr(l2.Z)
+        assert F.decode_fr(r1.Z) == F.decode_fr(r2.Z)
 
 
 def test_sharded_commit_rows_matches(mesh):
