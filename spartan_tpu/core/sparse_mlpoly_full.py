@@ -317,7 +317,7 @@ class Derefs:
         if isinstance(gens, PolyCommitmentGens):
             comm, _ = commit_poly(self.comb, gens, mesh=mesh)
             return DerefsCommitment(comm)
-        comm = gens.commit(self.comb)
+        comm = gens.commit(self.comb, mesh=mesh)
         return DerefsCommitment(comm)
 
 
@@ -399,7 +399,8 @@ class DerefsEvalProof:
                 derefs.comb, None, r_joint, joint_claim_eval, None,
                 gens, transcript, random_tape, mesh=mesh)
         else:
-            proof = gens.prove_eval(derefs.comb, r_joint, joint_claim_eval, transcript)
+            proof = gens.prove_eval(derefs.comb, r_joint, joint_claim_eval, transcript,
+                                    mesh=mesh)
         return DerefsEvalProof(proof)
 
     def verify(self, r: list[int], eval_row_ops_val: list[int], eval_col_ops_val: list[int],

@@ -129,12 +129,21 @@ class KZGSrs:
         return srs
 
 
-def _commit_msm(srs: KZGSrs, coeffs_mont) -> GroupElem:
+def _commit_msm(srs: KZGSrs, coeffs_mont, mesh=None) -> GroupElem:
     n = coeffs_mont.shape[0]
     assert n <= srs.size, "polynomial degree exceeds SRS size"
     pts = tuple(a[:n] for a in srs.powers_g1)
     sc = fr.from_mont(coeffs_mont)
-    out = MSM.msm(pts, sc)
+    if mesh is not None and mesh.devices.size > 1 and \
+            n % mesh.devices.size == 0 and n >= 4 * mesh.devices.size:
+        from spartan_tpu.parallel.mesh import shard_table
+        from spartan_tpu.parallel.msm_sharded import msm_sharded
+
+        pts_sh = tuple(shard_table(mesh, a) for a in pts)
+        out = msm_sharded(mesh, pts_sh, shard_table(mesh, sc),
+                          c=MSM.default_window(n // mesh.devices.size))
+    else:
+        out = MSM.msm(pts, sc)
     return GroupElem(CJ.decode_points(tuple(a[None] for a in out))[0])
 
 
@@ -159,7 +168,8 @@ class KZGProof:
     proof: GroupElem
 
     @staticmethod
-    def prove(coeffs_mont, point: int, srs: KZGSrs) -> tuple["KZGProof", int]:
+    def prove(coeffs_mont, point: int, srs: KZGSrs,
+              mesh=None) -> tuple["KZGProof", int]:
         from spartan_tpu.core.mle import k_dot
 
         n = coeffs_mont.shape[0]
@@ -175,7 +185,7 @@ class KZGProof:
         else:
             zinv = F.encode_fr([fr_inv(point)])[0]
             q = _k_quotient(coeffs_mont, z, zinv)
-        return KZGProof(_commit_msm(srs, q)), eval_
+        return KZGProof(_commit_msm(srs, q, mesh=mesh)), eval_
 
     def verify(self, commitment: KZGCommitment, point: int, eval_: int,
                srs: KZGSrs) -> bool:
@@ -254,15 +264,16 @@ class KZGPolyCommitmentGens:
 
     # -- adapter used by sparse_mlpoly_full's runtime-polymorphic derefs path --
 
-    def commit(self, poly) -> "KZGPolyCommitment":
+    def commit(self, poly, mesh=None) -> "KZGPolyCommitment":
         """Commit a DensePolynomial's evaluation vector (as coefficients)."""
-        return KZGPolyCommitment(KZGCommitment.commit(poly.Z, self.srs).commitment)
+        return KZGPolyCommitment(_commit_msm(self.srs, poly.Z, mesh=mesh))
 
-    def prove_eval(self, poly, _r_joint, _claim, transcript) -> "KZGPolyEvalProof":
+    def prove_eval(self, poly, _r_joint, _claim, transcript,
+                   mesh=None) -> "KZGPolyEvalProof":
         """Reference KZG derefs flow (sparse_mlpoly_full.rs:503-550): draw a
         univariate challenge point and open the coefficient vector there."""
         point = transcript.challenge_scalar(b"kzg_eval_point")
-        proof, eval_ = KZGProof.prove(poly.Z, point, self.srs)
+        proof, eval_ = KZGProof.prove(poly.Z, point, self.srs, mesh=mesh)
         return KZGPolyEvalProof(proof.proof, eval_)
 
     def verify_eval(self, proof: "KZGPolyEvalProof", comm: "KZGPolyCommitment",

@@ -173,6 +173,22 @@ def test_sharded_commit_rows_matches(mesh):
     assert CJ.decode_points(ref) == CJ.decode_points(got)
 
 
+def test_sharded_kzg_matches(mesh):
+    """KZG commit + quotient MSMs over the mesh equal single-device."""
+    from spartan_tpu.pcs.kzg import KZGCommitment, KZGProof, KZGSrs, _commit_msm
+
+    srs = KZGSrs.setup_from_seed(64, 7)
+    coeffs = F.encode_fr([random.randrange(fh.FR_MOD) for _ in range(64)])
+    c1 = _commit_msm(srs, coeffs)
+    c2 = _commit_msm(srs, coeffs, mesh=mesh)
+    assert c1.p == c2.p
+    point = random.randrange(1, fh.FR_MOD)
+    p1, e1 = KZGProof.prove(coeffs, point, srs)
+    p2, e2 = KZGProof.prove(coeffs, point, srs, mesh=mesh)
+    assert e1 == e2 and p1.proof.p == p2.proof.p
+    assert p2.verify(KZGCommitment(c2), point, e2, srs)
+
+
 def test_sharded_msm_matches_host(mesh):
     M = 32
     scalars = [random.randrange(fh.FR_MOD) for _ in range(M)]
