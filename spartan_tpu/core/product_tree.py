@@ -32,6 +32,23 @@ def _k_mul(a, b):
     return fr.mul(a, b)
 
 
+def batch_circuit_evals(circuits: list["ProductCircuit"]) -> list[int]:
+    """All root products decoded in ONE device round trip (the per-circuit
+    ``evaluate()`` loop costs a host sync each on a tunneled chip)."""
+    tops = []
+    for c in circuits:
+        l, r = c.layer(c.num_layers - 1)
+        tops.append(_k_mul(l.Z, r.Z)[0])
+    return F.decode_fr(jnp.stack(tops, axis=0))
+
+
+def batch_dotp_evals(circuits: list["DotProductCircuit"]) -> list[int]:
+    """All weighted dot products decoded in one round trip."""
+    outs = [fr.reduce_sum(_k_mul(_k_mul(c.left.Z, c.right.Z), c.weight.Z), axis=0)
+            for c in circuits]
+    return F.decode_fr(jnp.stack(outs, axis=0))
+
+
 _tree_level_cache: dict = {}
 
 
@@ -261,7 +278,7 @@ class ProductCircuitEvalProofBatched:
         claims_dotp_final = ([], [], [])
         proof_layers: list[LayerProofBatched] = []
         num_layers = prod_circuit_vec[0].num_layers
-        claims_to_verify = [c.evaluate() for c in prod_circuit_vec]
+        claims_to_verify = batch_circuit_evals(prod_circuit_vec)
         rand: list[int] = []
 
         from spartan_tpu.utils.timer import Timer
@@ -281,8 +298,8 @@ class ProductCircuitEvalProofBatched:
             poly_B_seq: list[DensePolynomial] = []
             poly_C_seq: list[DensePolynomial] = []
             if layer_id == 0 and dotp_circuit_vec:
+                claims_to_verify = claims_to_verify + batch_dotp_evals(dotp_circuit_vec)
                 for item in dotp_circuit_vec:
-                    claims_to_verify.append(item.evaluate())
                     assert item.left.len == poly_C_par.len
                 for d in dotp_circuit_vec:
                     poly_A_seq.append(d.left)

@@ -717,10 +717,15 @@ class ProductLayerProof:
               eval: list[int], transcript, mesh=None):
         transcript.append_protocol_name(ProductLayerProof.PROTOCOL)
 
-        row_eval_init = row_prod_layer.init.evaluate()
-        row_eval_audit = row_prod_layer.audit.evaluate()
-        row_eval_read = [p.evaluate() for p in row_prod_layer.read_vec]
-        row_eval_write = [p.evaluate() for p in row_prod_layer.write_vec]
+        from spartan_tpu.core.product_tree import batch_circuit_evals, batch_dotp_evals
+
+        kr = len(row_prod_layer.read_vec)
+        vals = batch_circuit_evals(
+            [row_prod_layer.init, row_prod_layer.audit] +
+            list(row_prod_layer.read_vec) + list(row_prod_layer.write_vec))
+        row_eval_init, row_eval_audit = vals[0], vals[1]
+        row_eval_read = vals[2: 2 + kr]
+        row_eval_write = vals[2 + kr:]
 
         ws = rs = 1
         for v in row_eval_write:
@@ -734,10 +739,13 @@ class ProductLayerProof:
         transcript.append_scalars(b"claim_row_eval_write", row_eval_write)
         transcript.append_scalar(b"claim_row_eval_audit", row_eval_audit)
 
-        col_eval_init = col_prod_layer.init.evaluate()
-        col_eval_audit = col_prod_layer.audit.evaluate()
-        col_eval_read = [p.evaluate() for p in col_prod_layer.read_vec]
-        col_eval_write = [p.evaluate() for p in col_prod_layer.write_vec]
+        kc = len(col_prod_layer.read_vec)
+        vals = batch_circuit_evals(
+            [col_prod_layer.init, col_prod_layer.audit] +
+            list(col_prod_layer.read_vec) + list(col_prod_layer.write_vec))
+        col_eval_init, col_eval_audit = vals[0], vals[1]
+        col_eval_read = vals[2: 2 + kc]
+        col_eval_write = vals[2 + kc:]
 
         ws = rs = 1
         for v in col_eval_write:
@@ -754,7 +762,6 @@ class ProductLayerProof:
         # dotp circuits, interleaved (left_i, right_i) after a half split
         assert len(eval) == len(derefs.row_ops_val)
         dotp_circuits: list[DotProductCircuit] = []
-        eval_dotp_left_vec, eval_dotp_right_vec = [], []
         for i in range(len(derefs.row_ops_val)):
             circuit = DotProductCircuit(
                 derefs.row_ops_val[i].clone(),
@@ -762,13 +769,16 @@ class ProductLayerProof:
                 dense.val[i].clone(),
             )
             cl, cr = circuit.split()
-            el, er = cl.evaluate(), cr.evaluate()
+            dotp_circuits.extend([cl, cr])
+        dotp_vals = batch_dotp_evals(dotp_circuits)  # one round trip
+        eval_dotp_left_vec, eval_dotp_right_vec = [], []
+        for i in range(len(derefs.row_ops_val)):
+            el, er = dotp_vals[2 * i], dotp_vals[2 * i + 1]
             transcript.append_scalar(b"claim_eval_dotp_left", el)
             transcript.append_scalar(b"claim_eval_dotp_right", er)
             assert (el + er) % FR_MOD == eval[i] % FR_MOD
             eval_dotp_left_vec.append(el)
             eval_dotp_right_vec.append(er)
-            dotp_circuits.extend([cl, cr])
 
         from spartan_tpu.utils.timer import Timer
 
