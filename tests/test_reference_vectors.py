@@ -85,6 +85,31 @@ def test_generator_derivation_vectors():
     assert h == TESTGENS_POINTS[2]
 
 
+def test_kzg_seeded_srs_compat_decision():
+    """DOCUMENTED DECISION: seeded-SRS byte-compatibility with the
+    reference is OUT OF SCOPE.
+
+    The reference derives tau from a u64 seed via rand's StdRng
+    (kzg.rs:58-63) — an explicitly NON-portable, version-pinned PRNG whose
+    stream may change across rand releases, and which arkworks itself
+    labels test-only. Matching it would tie this library's test SRS to one
+    Rust dependency version with zero protocol value: a production SRS
+    comes from a ceremony and is LOADED, not derived (KZGSrs.load_from_file
+    — the interoperable path, covered by save/load round-trip tests).
+    spartan_tpu derives its test tau by sha256 (pcs/kzg.py:75-84),
+    deterministic per-library. If cross-library KZG *proof* checks are
+    ever needed, export the reference's SRS to .npz and load it here.
+    """
+    from spartan_tpu.pcs.kzg import KZGSrs
+
+    a = KZGSrs.setup_from_seed(4, 42)
+    b = KZGSrs.setup_from_seed(4, 42)
+    # deterministic per-library, independent of process
+    import numpy as np
+
+    assert np.array_equal(np.asarray(a.powers_g1[0]), np.asarray(b.powers_g1[0]))
+
+
 def test_shape_digest_bincode_vector():
     # 4 cons x 4 vars, 1 input, one entry per matrix: hand-built bincode
     # bytes per the bincode-1.x legacy spec (fixint LE, u64 Vec lengths)
