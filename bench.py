@@ -65,7 +65,33 @@ def _verify_msm(points_host_sample, scalars, acc, n_check=512):
     return True
 
 
+def _probe_platform() -> str:
+    """Probe device availability in a subprocess: the axon tunnel can hang
+    jax device init for hours, and a hung bench records NO artifact. On
+    probe timeout/failure the bench degrades to a clearly-labeled CPU run
+    (SPARTAN_TPU_PLATFORM consumed by the spartan_tpu package import)."""
+    import subprocess
+
+    t = int(os.environ.get("SPARTAN_BENCH_PROBE_TIMEOUT", "900"))
+    plat = ""
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=t)
+        if out.returncode == 0 and out.stdout.strip():
+            plat = out.stdout.strip().splitlines()[-1]
+    except subprocess.TimeoutExpired:
+        pass
+    if not plat:
+        os.environ["SPARTAN_TPU_PLATFORM"] = "cpu"
+        print(f"# device probe failed/timed out after {t}s -> CPU fallback",
+              file=sys.stderr)
+        return "cpu-fallback"
+    return plat
+
+
 def main() -> None:
+    platform = _probe_platform()
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -131,10 +157,12 @@ def main() -> None:
               file=sys.stderr)
 
     pps = n / dt
+    unit = "points/s" if platform != "cpu-fallback" \
+        else "points/s (CPU FALLBACK: tpu tunnel down)"
     print(json.dumps({
         "metric": f"msm_points_per_sec_chip_2^{N_LOG2}",
         "value": round(pps, 1),
-        "unit": "points/s",
+        "unit": unit,
         "vs_baseline": round(pps / REF_POINTS_PER_SEC, 3),
     }))
 

@@ -10,13 +10,38 @@ import os
 
 # Persistent XLA compilation cache: the limb kernels are cheap to compile
 # individually but numerous; caching makes repeat runs/tests near-instant.
-# Keyed per platform: the axon remote-compile helper produces CPU AOT
-# artifacts with the terminal machine's CPU features, and loading those in
-# a local CPU process SIGSEGVs ("machine feature mismatch" loader warning).
+# Keyed per platform AND per host CPU fingerprint: the axon remote-compile
+# helper produces CPU AOT artifacts with the terminal machine's CPU
+# features, and loading those in a process on a different machine SIGSEGVs
+# ("machine feature mismatch" loader warning).
 if os.environ.get("SPARTAN_TPU_NO_COMPILE_CACHE") != "1":
-    _plat = os.environ.get("JAX_PLATFORMS", "default").replace(",", "_") or "auto"
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                          f"/tmp/spartan_tpu_jax_cache_{_plat}")
+    _plat = (os.environ.get("SPARTAN_TPU_PLATFORM")
+             or os.environ.get("JAX_PLATFORMS", "default")).replace(",", "_") or "auto"
+
+    def _cpu_fingerprint() -> str:
+        import hashlib
+        try:
+            with open("/proc/cpuinfo", "rb") as _f:
+                for _line in _f:
+                    if _line.startswith(b"flags"):
+                        return hashlib.sha256(_line).hexdigest()[:8]
+        except OSError:
+            pass
+        import platform as _platform
+        return hashlib.sha256(_platform.processor().encode()).hexdigest()[:8]
+
+    _cache_dir = f"/tmp/spartan_tpu_jax_cache_{_plat}_{_cpu_fingerprint()}"
+    # one-time migration: adopt a pre-fingerprint cache rather than
+    # cold-starting (first compiles are 20-40 s) — but never a cpu one,
+    # where foreign-machine AOT artifacts are exactly the hazard
+    _legacy = f"/tmp/spartan_tpu_jax_cache_{_plat}"
+    if "cpu" not in _plat and not os.path.isdir(_cache_dir) \
+            and os.path.isdir(_legacy):
+        try:
+            os.rename(_legacy, _cache_dir)
+        except OSError:
+            pass
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache_dir)
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
     # if jax was imported before this package, its config already captured
     # the (possibly unset) env — apply explicitly in that case
@@ -27,6 +52,16 @@ if os.environ.get("SPARTAN_TPU_NO_COMPILE_CACHE") != "1":
             "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
         _sys.modules["jax"].config.update(
             "jax_persistent_cache_min_compile_time_secs", 0)
+
+# Platform override that actually sticks: this jax build ignores the
+# JAX_PLATFORMS env var once the axon TPU plugin registers, and the tunnel
+# can hang device init for hours — SPARTAN_TPU_PLATFORM=cpu forces the
+# config-level override for CLI runs (tests do the same in conftest.py).
+_plat_override = os.environ.get("SPARTAN_TPU_PLATFORM")
+if _plat_override:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _plat_override)
 
 __version__ = "0.1.0"
 

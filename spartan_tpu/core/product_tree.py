@@ -110,9 +110,10 @@ class ProductCircuit:
                 self._cp[i] = (tl[:half], tl[half: 2 * half])
 
     def _gather(self, t):
+        from spartan_tpu.parallel.mesh import gather_table
         from spartan_tpu.parallel.sumcheck_sharded import from_strided
 
-        return from_strided(t)
+        return from_strided(gather_table(self._mesh, t))
 
     def _walk(self, Z):
         """Yield (is_sharded, full layer table) for every layer, bottom-up.

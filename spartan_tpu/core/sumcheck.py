@@ -499,14 +499,15 @@ class _MeshTables:
             p.num_vars = log_2(self.n)
 
     def fold(self, r_dev) -> None:
+        from spartan_tpu.parallel.mesh import gather_table
         from spartan_tpu.parallel.sumcheck_sharded import from_strided
 
         self.sharded = [self._fold(t, r_dev) for t in self.sharded]
         self._shrink()
         if self.n < 2 * self.D or self.n <= HP.HOST_N:
-            # gather to a single device; callers continue with local kernels
+            # gather to every process; callers continue with local kernels
             for p, t in zip(self.polys, self.sharded):
-                p.Z = from_strided(t)
+                p.Z = from_strided(gather_table(self.mesh, t))
             self.sharded = None
 
 
@@ -527,6 +528,7 @@ class _BatchedMeshTables:
             to_strided,
         )
 
+        self.mesh = mesh
         self.D = mesh.devices.size
         self.n = TA[0].shape[0]
         assert self.n >= 2 * self.D and self.n % (2 * self.D) == 0
@@ -556,13 +558,18 @@ class _BatchedMeshTables:
         return ev
 
     def fold_gather(self, r_dev):
-        """Fold once more, then return natural-order single-device tables."""
+        """Fold once more, then return natural-order every-process tables."""
+        from spartan_tpu.parallel.mesh import gather_table
         from spartan_tpu.parallel.sumcheck_sharded import from_strided
 
         TA, TB, TC, Cp = self._fold(self.TA, self.TB, self.TC, self.Cp, r_dev)
         self.n //= 2
-        return ([from_strided(t) for t in TA], [from_strided(t) for t in TB],
-                [from_strided(t) for t in TC], from_strided(Cp))
+
+        def g(t):
+            return from_strided(gather_table(self.mesh, t))
+
+        return ([g(t) for t in TA], [g(t) for t in TB],
+                [g(t) for t in TC], g(Cp))
 
 
 # ---------------------------------------------------------------------------

@@ -1,4 +1,11 @@
-from spartan_tpu.parallel.mesh import SHARD_AXIS, make_mesh, replicate, shard_table
+from spartan_tpu.parallel.mesh import (
+    SHARD_AXIS,
+    gather_table,
+    init_distributed,
+    make_mesh,
+    replicate,
+    shard_table,
+)
 from spartan_tpu.parallel.msm_sharded import commit_rows_sharded, msm_sharded
 from spartan_tpu.parallel.sumcheck_sharded import (
     bound_sharded,
@@ -11,6 +18,8 @@ from spartan_tpu.parallel.sumcheck_sharded import (
 __all__ = [
     "SHARD_AXIS",
     "make_mesh",
+    "init_distributed",
+    "gather_table",
     "replicate",
     "shard_table",
     "msm_sharded",

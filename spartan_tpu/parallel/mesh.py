@@ -4,15 +4,44 @@ The prover's distributed layer (SURVEY.md §2.2): one logical axis ("shard")
 partitions every length-N table — MSM points, sumcheck evaluation tables,
 product-tree layers. Collectives ride ICI within a slice; the host-side
 transcript is replicated and advanced identically on every host.
+
+Multi-host (DCN) model: the protocol driver is host-sequential and
+deterministic, so every process holds identical host state (transcript,
+challenges, full tables before sharding) and issues identical global
+operations — the standard JAX multi-controller discipline. ``shard_table``
+feeds each process only its addressable rows; ``gather_table`` is the one
+place a device table crosses back to every host (an all-gather that rides
+ICI within a host and DCN between hosts). Single-process runs take the
+zero-copy fast paths. The multi-host branches follow the documented
+jax.Array idioms but have only ever run single-process (no multi-host
+hardware was available); treat them as a reviewed-but-unproven code path.
 """
 
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 SHARD_AXIS = "shard"
+
+
+def init_distributed(**kwargs) -> None:
+    """Bring up the multi-controller runtime for a pod slice spanning hosts.
+
+    Call once per process before ``make_mesh()``. On Cloud TPU,
+    ``jax.distributed.initialize()`` auto-detects the coordinator and
+    process topology from the TPU metadata; elsewhere pass
+    ``coordinator_address=..., num_processes=..., process_id=...``.
+    After this, ``jax.devices()`` is global across the slice, so the mesh
+    and every shard_map collective span hosts automatically (DCN between
+    hosts, ICI within). No-op when already initialized.
+    """
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError:
+        pass  # already initialized (or explicitly single-process)
 
 
 def make_mesh(num_devices: int | None = None) -> Mesh:
@@ -21,11 +50,34 @@ def make_mesh(num_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs[:n]), (SHARD_AXIS,))
 
 
-def shard_table(mesh: Mesh, x):
-    """Shard a [N, ...] table across the mesh's first axis."""
+def shard_table(mesh: Mesh, x, _force_callback: bool = False):
+    """Shard a [N, ...] table across the mesh's first axis.
+
+    Multi-host: the host-sequential driver gives every process the full
+    table, so each process contributes exactly its addressable shards
+    (``_force_callback`` exercises that branch in single-process tests).
+    """
     spec = P(SHARD_AXIS, *([None] * (x.ndim - 1)))
-    return jax.device_put(x, NamedSharding(mesh, spec))
+    sh = NamedSharding(mesh, spec)
+    if _force_callback or jax.process_count() > 1:
+        xh = np.asarray(x)
+        return jax.make_array_from_callback(xh.shape, sh, lambda idx: xh[idx])
+    return jax.device_put(x, sh)
 
 
 def replicate(mesh: Mesh, x):
     return jax.device_put(x, NamedSharding(mesh, P()))
+
+
+def gather_table(mesh: Mesh, x):
+    """Mesh-sharded table -> fully-addressable array on every process.
+
+    The single handoff point from mesh kernels back to the host driver /
+    single-device tails. Multi-host this is a compiled all-gather to a
+    replicated layout; single-process the array is already addressable
+    and passes through untouched.
+    """
+    if jax.process_count() > 1:
+        out_sh = NamedSharding(mesh, P(*([None] * x.ndim)))
+        return jax.jit(lambda a: a, out_shardings=out_sh)(x)
+    return x

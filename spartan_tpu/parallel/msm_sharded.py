@@ -57,7 +57,9 @@ def commit_rows_sharded(mesh, Z_mont, blinds_mont, gens_points):
         check_vma=False,
     )
     out = jax.jit(fn)(Z_mont, blinds_mont, *gens_points)
-    return tuple(a[:L] for a in out)
+    from spartan_tpu.parallel.mesh import gather_table
+
+    return tuple(gather_table(mesh, a)[:L] for a in out)
 
 
 def msm_sharded(mesh, points, scalars, c: int = 8):

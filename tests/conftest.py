@@ -15,8 +15,26 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 # must land before jax reads its config at import (spartan_tpu/__init__ is
-# too late here: this conftest imports jax first)
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/spartan_tpu_jax_cache_cpu")
+# too late here: this conftest imports jax first). Same platform+CPU
+# fingerprint key as spartan_tpu/__init__ — never load AOT artifacts
+# compiled for another machine's CPU features.
+import hashlib
+
+
+def _cpu_fingerprint() -> str:
+    try:
+        with open("/proc/cpuinfo", "rb") as f:
+            for line in f:
+                if line.startswith(b"flags"):
+                    return hashlib.sha256(line).hexdigest()[:8]
+    except OSError:
+        pass
+    return "nofp"
+
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    f"/tmp/spartan_tpu_jax_cache_cpu_{_cpu_fingerprint()}")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 import jax  # noqa: E402

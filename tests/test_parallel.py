@@ -201,3 +201,24 @@ def test_sharded_msm_matches_host(mesh):
     acc = msm_sharded(mesh, pts_sh, sc_sh, c=8)
     got = CJ.decode_points(tuple(a[None] for a in acc))[0]
     assert got == CH.msm(scalars, pts_host)
+
+
+def test_multihost_shard_and_gather_paths(mesh):
+    """The multi-host branches (per-process shard feeding, all-gather
+    handoff) must be bit-identical to the single-process fast paths."""
+    from spartan_tpu.parallel import gather_table
+
+    x = F.encode_fr([random.randrange(fh.FR_MOD) for _ in range(64)])
+    fast = shard_table(mesh, x)
+    cb = shard_table(mesh, x, _force_callback=True)
+    assert cb.sharding == fast.sharding
+    assert bool((np.asarray(cb) == np.asarray(fast)).all())
+
+    # single-process gather_table is the identity; the multi-host branch is
+    # an all-gather to a replicated layout of the same values
+    assert gather_table(mesh, fast) is fast
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = jax.jit(lambda a: a,
+                  out_shardings=NamedSharding(mesh, P(None, None)))(fast)
+    assert bool((np.asarray(rep) == np.asarray(x)).all())
