@@ -110,6 +110,38 @@ def test_kzg_seeded_srs_compat_decision():
     assert np.array_equal(np.asarray(a.powers_g1[0]), np.asarray(b.powers_g1[0]))
 
 
+def test_frozen_nizk_transcript_vector():
+    """End-to-end wire-format drift pin: a tiny NIZK proved with a seeded
+    tape must serialize to EXACTLY these frozen bytes (sha256) and leave
+    the Fiat-Shamir transcript in exactly this state. Unlike the per-layer
+    vectors above this covers every transcript label, challenge order,
+    Σ-protocol response and serialization rule at once — any drift in any
+    of them changes the hash. (Self-generated, so it pins against drift,
+    not against the Rust reference; the per-layer vectors + merlin STROBE
+    vector carry the cross-library burden.)"""
+    import hashlib
+
+    from spartan_tpu.io.keyless_bench import synthetic
+    from spartan_tpu.snark import NIZK, NIZKGens
+    from spartan_tpu.utils.random_tape import RandomTape
+    from spartan_tpu.utils.serialization import serialize
+    from spartan_tpu.utils.transcript import Transcript
+
+    inst, vars_, inputs, _ = synthetic(4, seed=11)
+    n = inst.inst.num_cons
+    gens = NIZKGens(n, n, 1)
+    pt = Transcript(b"golden_nizk")
+    proof = NIZK.prove(inst, vars_, inputs, gens, pt,
+                       RandomTape(b"nizk_proof", seed=bytes([42]) * 32))
+    raw = serialize(proof)
+    assert len(raw) == 4128
+    assert hashlib.sha256(raw).hexdigest() == \
+        "56a023e419d1c3c7e0b105c9c2a45dc193a4dc12c790904e122b600dfb5a7a43"
+    assert pt.challenge_bytes(b"final", 16).hex() == \
+        "454facfbe1d6d7bf9156b00071b08326"
+    proof.verify(inst, inputs, Transcript(b"golden_nizk"), gens)
+
+
 def test_shape_digest_bincode_vector():
     # 4 cons x 4 vars, 1 input, one entry per matrix: hand-built bincode
     # bytes per the bincode-1.x legacy spec (fixint LE, u64 Vec lengths)
