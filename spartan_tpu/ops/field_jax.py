@@ -73,6 +73,13 @@ FQ = FieldSpec(fh.FQ_MOD, "Fq")
 # carry / compare helpers (all operate on [..., L] uint32)
 # ---------------------------------------------------------------------------
 
+def _carry_step(carry, col):
+    # module-level scan body: a per-call closure would defeat jax's
+    # traced-jaxpr cache and force a retrace at every call site
+    t = col + carry
+    return t >> LIMB_BITS, t & LIMB_MASK
+
+
 def _carry_propagate(d):
     """Columns (< 2^32 each) -> canonical 16-bit limbs, plus overflow carry.
 
@@ -82,13 +89,14 @@ def _carry_propagate(d):
     is a wide VPU op over the batch, so runtime is unaffected.
     """
     cols = jnp.moveaxis(d, -1, 0)  # [K, ...]
-
-    def step(carry, col):
-        t = col + carry
-        return t >> LIMB_BITS, t & LIMB_MASK
-
-    carry, outs = jax.lax.scan(step, jnp.zeros(cols.shape[1:], _U32), cols)
+    carry, outs = jax.lax.scan(_carry_step, jnp.zeros(cols.shape[1:], _U32), cols)
     return jnp.moveaxis(outs, 0, -1), carry
+
+
+def _borrow_step(borrow, ab):
+    x, y = ab
+    t = x + jnp.uint32(1 << LIMB_BITS) - y - borrow
+    return jnp.uint32(1) - (t >> LIMB_BITS), t & LIMB_MASK
 
 
 def _sub_limbs(a, b):
@@ -96,13 +104,7 @@ def _sub_limbs(a, b):
     shape = jnp.broadcast_shapes(a.shape, b.shape)
     av = jnp.moveaxis(jnp.broadcast_to(a, shape), -1, 0)
     bv = jnp.moveaxis(jnp.broadcast_to(b, shape), -1, 0)
-
-    def step(borrow, ab):
-        x, y = ab
-        t = x + jnp.uint32(1 << LIMB_BITS) - y - borrow
-        return jnp.uint32(1) - (t >> LIMB_BITS), t & LIMB_MASK
-
-    borrow, outs = jax.lax.scan(step, jnp.zeros(shape[:-1], _U32), (av, bv))
+    borrow, outs = jax.lax.scan(_borrow_step, jnp.zeros(shape[:-1], _U32), (av, bv))
     return jnp.moveaxis(outs, 0, -1), borrow
 
 
@@ -112,6 +114,16 @@ def _cond_sub_p(r, spec: FieldSpec):
     diff, borrow = _sub_limbs(r, p)
     take = (borrow == 0)[..., None]
     return jnp.where(take, diff, r)
+
+
+def _prodcol_step(state, bj):
+    # module-level scan body (see _carry_step); a8 rides in the carry
+    S, a8 = state
+    zcol = jnp.zeros((*S.shape[:-1], 1), _U32)
+    ztail = jnp.zeros((*S.shape[:-1], _NCOL8 - 1 - _NCHUNK), _U32)
+    row = a8 * bj[..., None]  # [..., 32], entries < 2^16
+    shifted = jnp.concatenate([zcol, S[..., :-1]], axis=-1)
+    return (shifted + jnp.concatenate([row, ztail], axis=-1), a8), None
 
 
 def _to_chunks8(a):
@@ -141,17 +153,9 @@ def _product_columns(a, b):
     # O(columns) per element, which matters when this inlines into batched
     # point scans).
     bcols = jnp.moveaxis(b8, -1, 0)[::-1]  # [j from high to low, ...]
-    zcol = jnp.zeros((*shape[:-1], 1), _U32)
-    ztail = jnp.zeros((*shape[:-1], _NCOL8 - 1 - _NCHUNK), _U32)
     acc0 = jnp.zeros((*shape[:-1], _NCOL8 - 1), _U32)  # 63 columns
-
-    def step(S, bj):
-        row = a8 * bj[..., None]  # [..., 32], entries < 2^16
-        shifted = jnp.concatenate([zcol, S[..., :-1]], axis=-1)
-        return shifted + jnp.concatenate([row, ztail], axis=-1), None
-
-    c8, _ = jax.lax.scan(step, acc0, bcols)  # [..., 63], < 2^21
-    c8 = jnp.concatenate([c8, zcol], axis=-1)
+    (c8, _), _ = jax.lax.scan(_prodcol_step, (acc0, a8), bcols)  # [..., 63]
+    c8 = jnp.concatenate([c8, jnp.zeros((*shape[:-1], 1), _U32)], axis=-1)
     ev = c8[..., 0::2]
     od = c8[..., 1::2]
     return ev + (od << 8)  # [..., 32], < 2^21 + 2^29 < 2^30
@@ -343,18 +347,29 @@ def make_ops(spec: FieldSpec):
     class Ops:
         pass
 
+    # Every primitive op is wrapped in jax.jit: a jitted function's jaxpr is
+    # traced ONCE per input shape and the cached pjit is reused at every call
+    # site inside outer jits. Without this, each of the hundreds of mul/add
+    # call sites in a fused protocol kernel re-traced the whole limb pipeline
+    # (fresh scan-body closures defeat jax's tracing caches), and lowering a
+    # single batched sumcheck step was observed at ~97 s on the chip; jitted,
+    # the same lowering is sub-second. XLA inlines the inner calls, so the
+    # compiled code is unchanged.
     ops = Ops()
     ops.spec = spec
     ops.normalize_columns = _normalize_columns
-    ops.add = add
-    ops.sub = sub
-    ops.neg = neg
-    ops.mul = mul
-    ops.sqr = sqr
+    ops.add = jax.jit(add)
+    ops.sub = jax.jit(sub)
+    ops.neg = jax.jit(neg)
+    ops.mul = jax.jit(mul)
+    ops.sqr = jax.jit(sqr)
     ops.mul_small = mul_small
+    # inv/batch_inverse resolve ops.mul at trace time (so enable_pallas
+    # rebinding applies) — left unjitted so a cached trace can never pin a
+    # stale backend; their inner ops are jitted, keeping tracing cheap.
     ops.inv = inv
     ops.batch_inverse = batch_inverse
-    ops.reduce_sum = reduce_sum
+    ops.reduce_sum = jax.jit(reduce_sum, static_argnames=("axis",))
     ops.is_zero = is_zero
     ops.eq = eq
     ops.zeros = zeros

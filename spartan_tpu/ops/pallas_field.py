@@ -274,7 +274,9 @@ def make_field_kernels(spec, interpret: bool = False):
             )(p_limbs[:, None], at, bt)
             return out.T[:n].reshape(shape)
 
-        return op
+        # jit so the pallas_call body is traced once per shape and every
+        # other call site reuses the cached pjit (see field_jax.make_ops)
+        return jax.jit(op)
 
     return binary(mul_kernel), binary(add_kernel), binary(sub_kernel)
 
@@ -327,7 +329,7 @@ def make_curve_kernels(spec, interpret: bool = False):
         )(p_limbs[:, None], *coords)
         return tuple(o.T[:n].reshape(shape) for o in outs)
 
-    return padd, pdbl
+    return jax.jit(padd), jax.jit(pdbl)
 
 
 def make_pallas_mul(spec, interpret: bool = False):

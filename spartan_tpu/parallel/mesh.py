@@ -26,6 +26,41 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 SHARD_AXIS = "shard"
 
+_cache_guard_installed = False
+
+
+def _install_cpu_mesh_cache_guard() -> None:
+    """Skip persistent-compile-cache writes for multi-device CPU executables.
+
+    jaxlib's XLA:CPU ``executable.serialize()`` SIGSEGVs on very large
+    multi-device executables (observed on the 8-virtual-device mesh SNARK
+    step; the crash is inside put_executable_and_time, below any Python
+    try/except). TPU executables serialize fine and stay cached; CPU mesh
+    runs only ever happen in tests and the driver's dryrun, where losing
+    the cross-process cache for these few entries is the cheap price of
+    not segfaulting the whole run.
+    """
+    global _cache_guard_installed
+    if _cache_guard_installed:
+        return
+    _cache_guard_installed = True
+    from jax._src import compilation_cache as _cc
+
+    _orig_put = _cc.put_executable_and_time
+
+    def _safe_put(cache_key, module_name, executable, backend, compile_time):
+        try:
+            multi = len(executable.local_devices()) > 1
+            is_cpu = backend.platform == "cpu"
+        except Exception:
+            multi, is_cpu = False, False
+        if multi and is_cpu:
+            return None
+        return _orig_put(cache_key, module_name, executable, backend,
+                         compile_time)
+
+    _cc.put_executable_and_time = _safe_put
+
 
 def init_distributed(**kwargs) -> None:
     """Bring up the multi-controller runtime for a pod slice spanning hosts.
@@ -47,6 +82,8 @@ def init_distributed(**kwargs) -> None:
 def make_mesh(num_devices: int | None = None) -> Mesh:
     devs = jax.devices()
     n = num_devices if num_devices is not None else len(devs)
+    if n > 1 and devs[0].platform == "cpu":
+        _install_cpu_mesh_cache_guard()
     return Mesh(np.array(devs[:n]), (SHARD_AXIS,))
 
 
