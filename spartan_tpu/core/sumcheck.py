@@ -265,6 +265,16 @@ class SumcheckInstanceProof:
     def prove_cubic(claim: int, num_rounds: int, poly_A, poly_B, poly_C, transcript):
         """Product comb A*B*C (sumcheck.rs:89-161). Tables are
         DensePolynomial objects, consumed (folded in place)."""
+        from spartan_tpu.core import sumcheck_fused as SF
+
+        if (SF.fused_enabled() and num_rounds > 0
+                and poly_A.len == (1 << num_rounds)
+                and poly_A.len <= SF.FUSE_MAX_N):
+            polys, r, claims_prod, _ = SF.prove_cubic_batched_fused(
+                claim, num_rounds, [poly_A.Z], [poly_B.Z], [], poly_C.Z,
+                1, [1], transcript)
+            claims = [claims_prod[0][0], claims_prod[1][0], claims_prod[2]]
+            return SumcheckInstanceProof(polys), r, claims
         e = claim % FR_MOD
         r: list[int] = []
         polys: list[CompressedUniPoly] = []
@@ -318,6 +328,8 @@ class SumcheckInstanceProof:
         tables are strided-sharded over the devices until they shrink
         below shard granularity (transcript bit-identical either way).
         """
+        from spartan_tpu.core import sumcheck_fused as SF
+
         A_par, B_par, C_par = poly_vec_par
         A_seq, B_seq, C_seq = poly_vec_seq
         nP, nS = len(A_par), len(A_seq)
@@ -345,7 +357,15 @@ class SumcheckInstanceProof:
                 n0 % (2 * mesh.devices.size) == 0:
             mesh_t = _BatchedMeshTables(mesh, TA, TB, TC, Cp, nP)
 
-        for _ in range(num_rounds):
+        fused_tail = None
+        for j in range(num_rounds):
+            if (SF.fused_enabled() and mesh_t is None and host is None
+                    and TA[0].shape[0] <= SF.FUSE_MAX_N
+                    and TA[0].shape[0] == (1 << (num_rounds - j))):
+                # remaining rounds + Fiat-Shamir as ONE device dispatch
+                fused_tail = SF.prove_cubic_batched_fused(
+                    e, num_rounds - j, TA, TB, TC, Cp, nP, coeffs, transcript)
+                break
             if mesh_t is not None:
                 if pending is None:
                     pending = mesh_t.evals()
@@ -404,6 +424,10 @@ class SumcheckInstanceProof:
             e = poly.evaluate(r_j)
             polys.append(poly.compress())
 
+        if fused_tail is not None:
+            tail_polys, tail_r, claims_prod, claims_dotp = fused_tail
+            return (SumcheckInstanceProof(polys + tail_polys), r + tail_r,
+                    claims_prod, claims_dotp)
         if host is not None:
             HA, HB, HCp, HCs = host
             finals_A = [t[0] for t in HA]
