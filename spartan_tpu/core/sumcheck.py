@@ -31,6 +31,7 @@ from spartan_tpu.core.unipoly import CompressedUniPoly, UniPoly
 from spartan_tpu.ops import field_jax as F
 from spartan_tpu.ops.fields_host import FR_MOD
 from spartan_tpu.utils.errors import ProofVerifyError
+from spartan_tpu.utils.aot_cache import aot_jit
 
 fr = F.fr
 
@@ -51,7 +52,7 @@ def _extrapolate(lo, hi):
     return p2, p3
 
 
-@jax.jit
+@aot_jit
 def k_cubic_prod_evals(A, B, C):
     """Round evals (e0,e2,e3) of sum A*B*C; tables [..., N, 16] batched."""
     aL, aH = _halves(A)
@@ -66,7 +67,7 @@ def k_cubic_prod_evals(A, B, C):
     return e0, e2, e3
 
 
-@jax.jit
+@aot_jit
 def k_cubic_additive_evals(T, A, B, C):
     """Round evals of sum tau * (Az*Bz - Cz) (sumcheck.rs:465-530)."""
     tL, tH = _halves(T)
@@ -87,7 +88,7 @@ def k_cubic_additive_evals(T, A, B, C):
     return e0, e2, e3
 
 
-@jax.jit
+@aot_jit
 def k_quad_evals(A, B):
     """Round evals (e0, e2) of sum A*B (sumcheck.rs:684-699)."""
     aL, aH = _halves(A)
@@ -99,7 +100,7 @@ def k_quad_evals(A, B):
     return e0, e2
 
 
-@jax.jit
+@aot_jit
 def k_fold_top(T, r):
     """bound_poly_var_top over the second-to-last axis, batched leading dims."""
     n = T.shape[-2] // 2
@@ -146,12 +147,12 @@ def _batched_cubic_evals(TA, TB, TC, Cp, nP):
     return jnp.stack(outs, axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("nP",))
+@aot_jit(static_argnames=("nP",))
 def k_evals_cubic_batched(TA, TB, TC, Cp, nP: int):
     return _batched_cubic_evals(TA, TB, TC, Cp, nP)
 
 
-@functools.partial(jax.jit, static_argnames=("nP",))
+@aot_jit(static_argnames=("nP",))
 def k_step_cubic_batched(TA, TB, TC, Cp, r, nP: int):
     """Fold all tables by r, then next-round evals — one dispatch."""
     TA = [_fold(t, r) for t in TA]
@@ -161,7 +162,7 @@ def k_step_cubic_batched(TA, TB, TC, Cp, r, nP: int):
     return TA, TB, TC, Cp, _batched_cubic_evals(TA, TB, TC, Cp, nP)
 
 
-@jax.jit
+@aot_jit
 def k_folds_cubic_batched(TA, TB, TC, Cp, r):
     """Fold-only tail step (next round continues on the host path)."""
     return ([_fold(t, r) for t in TA], [_fold(t, r) for t in TB],
@@ -187,18 +188,18 @@ def _additive_eval_triple(T, A, B, C):
     return jnp.stack([e0, e2, e3], axis=0)
 
 
-@jax.jit
+@aot_jit
 def k_cubic_additive_stack(T, A, B, C):
     return _additive_eval_triple(T, A, B, C)
 
 
-@jax.jit
+@aot_jit
 def k_step_cubic_additive(T, A, B, C, r):
     T, A, B, C = _fold(T, r), _fold(A, r), _fold(B, r), _fold(C, r)
     return T, A, B, C, _additive_eval_triple(T, A, B, C)
 
 
-@jax.jit
+@aot_jit
 def k_folds_cubic_additive(T, A, B, C, r):
     return _fold(T, r), _fold(A, r), _fold(B, r), _fold(C, r)
 
@@ -213,18 +214,18 @@ def _quad_eval_pair(A, B):
     return jnp.stack([e0, e2], axis=0)
 
 
-@jax.jit
+@aot_jit
 def k_quad_stack(A, B):
     return _quad_eval_pair(A, B)
 
 
-@jax.jit
+@aot_jit
 def k_step_quad(A, B, r):
     A, B = _fold(A, r), _fold(B, r)
     return A, B, _quad_eval_pair(A, B)
 
 
-@jax.jit
+@aot_jit
 def k_folds_quad(A, B, r):
     return _fold(A, r), _fold(B, r)
 

@@ -49,6 +49,7 @@ from spartan_tpu.core.unipoly import CompressedUniPoly, UniPoly
 from spartan_tpu.ops import field_jax as F
 from spartan_tpu.ops import transcript_device as TD
 from spartan_tpu.ops.fields_host import FR_MOD
+from spartan_tpu.utils.aot_cache import aot_jit
 
 fr = F.fr
 
@@ -109,7 +110,7 @@ def _extrap(lo, hi):
     return p2, fr.add(p2, d)
 
 
-@functools.partial(jax.jit, static_argnames=("N",))
+@aot_jit(static_argnames=("N",))
 def _k_prep(tables, *, N):
     """Bit-reverse permute, zero-pad to the bucket size, and stack — one
     dispatch (eager per-table gathers cost ~50 round trips per sumcheck
@@ -124,7 +125,7 @@ def _k_prep(tables, *, N):
     return BUF
 
 
-@functools.partial(jax.jit, static_argnames=("nP", "nS"))
+@aot_jit(static_argnames=("nP", "nS"))
 def _k_fused_cubic_batched(state, pos, pos_begin, BUF, coeffs, claim,
                            num_rounds, *, nP, nS):
     """All rounds of the batched cubic product sumcheck, one dispatch.

@@ -34,6 +34,7 @@ from spartan_tpu.ops import curve_jax as C
 from spartan_tpu.ops import field_jax as F
 from spartan_tpu.ops import scan as SCAN
 from spartan_tpu.ops.limbs import LIMB_BITS, NUM_LIMBS
+from spartan_tpu.utils.aot_cache import aot_jit
 
 fq = F.fq
 
@@ -64,7 +65,7 @@ import os as _os
 _CHUNK_BUDGET = int(_os.environ.get("SPARTAN_TPU_MSM_BUDGET", str(1 << 20)))
 
 
-@functools.partial(jax.jit, static_argnames=("c", "num_bits"))
+@aot_jit(static_argnames=("c", "num_bits"))
 def window_digits(scalars, c: int, num_bits: int = 254):
     """[..., 16] canonical limbs -> [..., W] c-bit digits (c <= 16)."""
     W = -(-num_bits // c)
@@ -162,7 +163,7 @@ def _bucket_windows(points, digits, c: int):
     return tuple(t[0] for t in total)
 
 
-@functools.partial(jax.jit, static_argnames=("c",))
+@aot_jit(static_argnames=("c",))
 def _horner_windows(window_pts, c: int):
     """Combine window sums (axis 0, most-significant first) by Horner ladder."""
     x, y, z = window_pts
@@ -209,7 +210,7 @@ def _choose_seq_params(n: int, batch_rows: int) -> tuple[int, int]:
     return best[1], best[2]
 
 
-@jax.jit
+@aot_jit
 def msm_ladder(points, scalars):
     """Small-N fallback: batched double-and-add ladders + tree reduction.
 

@@ -36,6 +36,7 @@ import os as _os
 from spartan_tpu.ops import field_jax as F
 from spartan_tpu.ops.limbs import NUM_LIMBS
 from spartan_tpu.ops.pallas_field import _padd_block
+from spartan_tpu.utils.aot_cache import aot_jit
 
 _U32 = jnp.uint32
 _L = NUM_LIMBS  # 16
@@ -150,7 +151,7 @@ def _weighted_kernel(p_ref, one_ref, bx_ref, by_ref, bz_ref,
         oz_ref[:] = totz[:]
 
 
-@functools.partial(jax.jit, static_argnames=("c", "nseg"))
+@aot_jit(static_argnames=("c", "nseg"))
 def bucket_windows_seq(points, digits, c: int, nseg: int = 1):
     """Drop-in for msm._bucket_windows on TPU.
 
