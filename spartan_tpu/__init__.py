@@ -30,17 +30,9 @@ if os.environ.get("SPARTAN_TPU_NO_COMPILE_CACHE") != "1":
         import platform as _platform
         return hashlib.sha256(_platform.processor().encode()).hexdigest()[:8]
 
-    _cache_dir = f"/tmp/spartan_tpu_jax_cache_{_plat}_{_cpu_fingerprint()}"
-    # one-time migration: adopt a pre-fingerprint cache rather than
-    # cold-starting (first compiles are 20-40 s) — but never a cpu one,
-    # where foreign-machine AOT artifacts are exactly the hazard
-    _legacy = f"/tmp/spartan_tpu_jax_cache_{_plat}"
-    if "cpu" not in _plat and not os.path.isdir(_cache_dir) \
-            and os.path.isdir(_legacy):
-        try:
-            os.rename(_legacy, _cache_dir)
-        except OSError:
-            pass
+    from spartan_tpu.utils.cachedir import subdir as _cache_subdir
+
+    _cache_dir = _cache_subdir(f"jax_cache_{_plat}_{_cpu_fingerprint()}")
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache_dir)
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
     # if jax was imported before this package, its config already captured

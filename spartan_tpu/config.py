@@ -12,12 +12,19 @@ import os
 from dataclasses import dataclass, field
 
 
+def _default_srs_path() -> str:
+    from spartan_tpu.utils.cachedir import subdir
+
+    return os.path.join(subdir("srs"), "spartan_tpu_srs.npz")
+
+
 @dataclass
 class SpartanConfig:
     # polynomial commitment scheme for the derefs/eval path: 'hyrax' | 'kzg'
     pcs: str = os.environ.get("SPARTAN_TPU_PCS", "hyrax")
     # KZG SRS location + deterministic test seed (kzg.rs:58-63 analog)
-    srs_path: str = os.environ.get("SPARTAN_TPU_SRS", "/tmp/spartan_tpu_srs.npz")
+    srs_path: str = field(default_factory=lambda: os.environ.get(
+        "SPARTAN_TPU_SRS") or _default_srs_path())
     srs_seed: int = int(os.environ.get("SPARTAN_TPU_SRS_SEED", str(0xDEADBEEF)))
     # MSM window size override (None = auto by size)
     msm_window: int | None = None

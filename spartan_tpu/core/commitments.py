@@ -99,8 +99,18 @@ def _k_fixed_base_msm(table, digits):
 
 
 def points_from_scalars(scalars: list[int]):
-    """Batch-compute s_i * G on device via windowed fixed-base lookup."""
+    """Batch-compute s_i * G on device via windowed fixed-base lookup.
+
+    Small batches go through the native-C host backend instead: deriving a
+    few hundred generators is microseconds of host work, and the device
+    fixed-base kernels are multi-second XLA compiles on the CPU test/dryrun
+    backend.
+    """
     from spartan_tpu.ops.msm import window_digits
+
+    if len(scalars) <= 4096:
+        pts = [CH.scalar_mul(s % FR_MOD, CH.GEN) for s in scalars]
+        return CJ.encode_points_affine(pts)
 
     table = _fixed_base_windows()
     CHUNK = 1 << 15  # bounds the [N, 32, 16] gather transient
@@ -158,7 +168,11 @@ class MultiCommitGens:
 
         import numpy as np
 
-        cache_dir = os.environ.get("SPARTAN_TPU_GENS_CACHE", "/tmp/spartan_tpu_gens")
+        cache_dir = os.environ.get("SPARTAN_TPU_GENS_CACHE")
+        if not cache_dir:
+            from spartan_tpu.utils.cachedir import subdir
+
+            cache_dir = subdir("gens")
         mode = b"secure|" if secure else b""
         key = hashlib.sha256(mode + label + b"|" + str(n).encode()).hexdigest()[:24]
         path = os.path.join(cache_dir, f"gens_{key}.npz")

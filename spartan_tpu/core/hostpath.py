@@ -41,6 +41,22 @@ def _default_msm_threshold() -> int:
 HOST_MSM_N = int(os.environ.get("SPARTAN_TPU_HOST_MSM_N", "0")) or \
     _default_msm_threshold()
 
+# Leave the mesh (gather to single-device) once a sumcheck table folds
+# below this length, even if it is still above HOST_N. Production default
+# 0 = fold on the mesh all the way down to shard granularity; the
+# multichip dry run sets it huge so each sharded family compiles exactly
+# ONE mesh-round module instead of a whole ladder of shrinking shapes.
+MESH_MIN_N = int(os.environ.get("SPARTAN_TPU_MESH_MIN_N", "0"))
+
+
+def host_table_n() -> int:
+    """Size below which sumcheck/opening table work switches to the exact
+    host path. Mesh ENGAGEMENT always compares against the raw HOST_N;
+    this only governs the single-device tail, so a dry run with
+    MESH_MIN_N huge runs (mesh round) -> (host tail) with no ladder of
+    per-shape single-device compiles in between."""
+    return max(HOST_N, MESH_MIN_N)
+
 
 def host_commit_points() -> int:
     """Total-point cutoff below which a row-batched commit goes to the C

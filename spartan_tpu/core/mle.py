@@ -103,6 +103,21 @@ def decode_scalar(arr) -> int:
     return F.decode_fr(arr[None] if arr.ndim == 1 else arr)[0]
 
 
+def decode_tables(arrs) -> list[list[int]]:
+    """Decode K equal-length [n, 16] tables with ONE device->host sync.
+
+    The host-tail switchover in every sumcheck used to decode each table
+    separately — K tunnel round trips (~33 ms each) where one suffices.
+    """
+    import jax.numpy as jnp
+
+    if not arrs:
+        return []
+    n = arrs[0].shape[0]
+    vals = F.decode_fr(jnp.concatenate(list(arrs), axis=0))
+    return [vals[i * n:(i + 1) * n] for i in range(len(arrs))]
+
+
 class DensePolynomial:
     """MLE by its evaluation table, device-resident (hyrax.rs:156-324)."""
 

@@ -270,7 +270,7 @@ class SumcheckInstanceProof:
 
         if (SF.fused_enabled() and num_rounds > 0
                 and poly_A.len == (1 << num_rounds)
-                and poly_A.len <= SF.FUSE_MAX_N):
+                and SF.fusible(poly_A.len, 3)):
             polys, r, claims_prod, _ = SF.prove_cubic_batched_fused(
                 claim, num_rounds, [poly_A.Z], [poly_B.Z], [], poly_C.Z,
                 1, [1], transcript)
@@ -282,8 +282,8 @@ class SumcheckInstanceProof:
         host = None  # host-int tables once the size drops under HOST_N
         pending = None  # device evals for the current round (from fused step)
         for _ in range(num_rounds):
-            if host is None and poly_A.len <= HP.HOST_N:
-                host = [p.to_ints() for p in (poly_A, poly_B, poly_C)]
+            if host is None and poly_A.len <= HP.host_table_n():
+                host = mle.decode_tables([poly_A.Z, poly_B.Z, poly_C.Z])
             if host is not None:
                 v = HP.cubic_prod_evals(*host)
             else:
@@ -299,7 +299,7 @@ class SumcheckInstanceProof:
                 host = [HP.fold_top(t, r_j) for t in host]
             else:
                 r_dev = mle.encode_scalar(r_j)
-                if poly_A.len // 2 <= HP.HOST_N:
+                if poly_A.len // 2 <= HP.host_table_n():
                     (TA, TB, _, Cz) = k_folds_cubic_batched(
                         [poly_A.Z], [poly_B.Z], [], poly_C.Z, r_dev)
                     pending = None
@@ -361,7 +361,7 @@ class SumcheckInstanceProof:
         fused_tail = None
         for j in range(num_rounds):
             if (SF.fused_enabled() and mesh_t is None and host is None
-                    and TA[0].shape[0] <= SF.FUSE_MAX_N
+                    and SF.fusible(TA[0].shape[0], 2 * I + 1 + nS)
                     and TA[0].shape[0] == (1 << (num_rounds - j))):
                 # remaining rounds + Fiat-Shamir as ONE device dispatch
                 fused_tail = SF.prove_cubic_batched_fused(
@@ -373,11 +373,10 @@ class SumcheckInstanceProof:
                 vals = F.decode_fr(pending)
                 ev0, ev2, ev3 = vals[0::3], vals[1::3], vals[2::3]
             else:
-                if host is None and TA[0].shape[0] <= HP.HOST_N:
-                    host = ([F.decode_fr(t) for t in TA],
-                            [F.decode_fr(t) for t in TB],
-                            F.decode_fr(Cp),
-                            [F.decode_fr(t) for t in TC])
+                if host is None and TA[0].shape[0] <= HP.host_table_n():
+                    dec = mle.decode_tables(TA + TB + [Cp] + TC)
+                    host = (dec[:I], dec[I:2 * I], dec[2 * I],
+                            dec[2 * I + 1:])
                 if host is not None:
                     HA, HB, HCp, HCs = host
                     ev0, ev2, ev3 = [0] * I, [0] * I, [0] * I
@@ -416,7 +415,7 @@ class SumcheckInstanceProof:
                         [HP.fold_top(t, r_j) for t in HCs])
             else:
                 r_dev = mle.encode_scalar(r_j)
-                if TA[0].shape[0] // 2 <= HP.HOST_N:
+                if TA[0].shape[0] // 2 <= HP.host_table_n():
                     TA, TB, TC, Cp = k_folds_cubic_batched(TA, TB, TC, Cp, r_dev)
                     pending = None
                 else:
@@ -490,7 +489,8 @@ class _MeshTables:
         """True when the post-fold table still spans the mesh (fused step
         stays valid) and is too big for the host tail; otherwise callers
         fold+gather via ``fold`` and the small-table paths take over."""
-        return self.n // 2 >= 2 * self.D and self.n // 2 > HP.HOST_N
+        return (self.n // 2 >= 2 * self.D and self.n // 2 > HP.HOST_N
+                and self.n // 2 >= HP.MESH_MIN_N)
 
     def evals_cubic(self):
         T, A, B, C = self.sharded
@@ -529,7 +529,7 @@ class _MeshTables:
 
         self.sharded = [self._fold(t, r_dev) for t in self.sharded]
         self._shrink()
-        if self.n < 2 * self.D or self.n <= HP.HOST_N:
+        if self.n < 2 * self.D or self.n <= HP.HOST_N or self.n < HP.MESH_MIN_N:
             # gather to every process; callers continue with local kernels
             for p, t in zip(self.polys, self.sharded):
                 p.Z = from_strided(gather_table(self.mesh, t))
@@ -570,7 +570,8 @@ class _BatchedMeshTables:
         self.Cp = prep(Cp)
 
     def can_step(self) -> bool:
-        return self.n // 2 >= 2 * self.D and self.n // 2 > HP.HOST_N
+        return (self.n // 2 >= 2 * self.D and self.n // 2 > HP.HOST_N
+                and self.n // 2 >= HP.MESH_MIN_N)
 
     def evals(self):
         return self._evals(self.TA, self.TB, self.TC, self.Cp)
@@ -692,17 +693,21 @@ class ZKSumcheckInstanceProof:
                 poly_tau.len % (2 * mesh.devices.size) == 0:
             mesh_tables = _MeshTables(mesh, tables)
 
+        from spartan_tpu.utils.timer import Timer
+        import time as _time
+
         host = None  # host-int tables for the small-size tail
         pending = None  # device evals for the current round (fused step)
         for j in range(num_rounds):
+            _t = _time.perf_counter()
             if mesh_tables is not None and mesh_tables.active():
                 if pending is None:
                     e0, e2, e3 = mesh_tables.evals_cubic()
                     pending = jnp.stack([e0, e2, e3])
                 v = F.decode_fr(pending)
             else:
-                if host is None and poly_tau.len <= HP.HOST_N:
-                    host = [p.to_ints() for p in tables]
+                if host is None and poly_tau.len <= HP.host_table_n():
+                    host = mle.decode_tables([p.Z for p in tables])
                 if host is not None:
                     v = HP.cubic_additive_evals(*host)
                 else:
@@ -710,12 +715,16 @@ class ZKSumcheckInstanceProof:
                         pending = k_cubic_additive_stack(
                             poly_tau.Z, poly_Az.Z, poly_Bz.Z, poly_Cz.Z)
                     v = F.decode_fr(pending)
+            Timer.acc("zk_cubic/evals", _time.perf_counter() - _t)
+            _t = _time.perf_counter()
             poly = UniPoly.from_evals([v[0], (claim_per_round - v[0]) % FR_MOD, v[1], v[2]])
             comm_poly = commit(poly.as_vec(), blinds_poly[j], gens_n)
             comm_poly.append_to_transcript(b"comm_poly", transcript)
             comm_polys.append(comm_poly)
 
             r_j = transcript.challenge_scalar(b"challenge_nextround")
+            Timer.acc("zk_cubic/commit_poly", _time.perf_counter() - _t)
+            _t = _time.perf_counter()
             if mesh_tables is not None and mesh_tables.active():
                 if mesh_tables.can_step():
                     pending = mesh_tables.step_cubic(mle.encode_scalar(r_j))
@@ -726,7 +735,7 @@ class ZKSumcheckInstanceProof:
                 host = [HP.fold_top(t, r_j) for t in host]
             else:
                 r_dev = mle.encode_scalar(r_j)
-                if poly_tau.len // 2 <= HP.HOST_N:
+                if poly_tau.len // 2 <= HP.host_table_n():
                     folded = k_folds_cubic_additive(
                         poly_tau.Z, poly_Az.Z, poly_Bz.Z, poly_Cz.Z, r_dev)
                     pending = None
@@ -735,13 +744,16 @@ class ZKSumcheckInstanceProof:
                         poly_tau.Z, poly_Az.Z, poly_Bz.Z, poly_Cz.Z, r_dev)
                 for p, z in zip(tables, folded):
                     p.rebind(z)
+            Timer.acc("zk_cubic/fold", _time.perf_counter() - _t)
 
+            _t = _time.perf_counter()
             blind_sc = blind_claim if j == 0 else blinds_evals[j - 1]
             proof, eval_, comm_eval = ZKSumcheckInstanceProof._round_tail(
                 poly, r_j, claim_per_round, comm_claim_per_round,
                 blinds_poly[j], blinds_evals[j], blind_sc,
                 gens_1, gens_n, transcript, random_tape,
             )
+            Timer.acc("zk_cubic/round_tail", _time.perf_counter() - _t)
             proofs.append(proof)
             claim_per_round = eval_
             comm_claim_per_round = comm_eval
@@ -782,29 +794,37 @@ class ZKSumcheckInstanceProof:
                 poly_z.len % (2 * mesh.devices.size) == 0:
             mesh_tables = _MeshTables(mesh, tables)
 
+        from spartan_tpu.utils.timer import Timer
+        import time as _time
+
         host = None
         pending = None  # device evals for the current round (fused step)
         for j in range(num_rounds):
+            _t = _time.perf_counter()
             if mesh_tables is not None and mesh_tables.active():
                 if pending is None:
                     e0, e2 = mesh_tables.evals_quad()
                     pending = jnp.stack([e0, e2])
                 v = F.decode_fr(pending)
             else:
-                if host is None and poly_z.len <= HP.HOST_N:
-                    host = [p.to_ints() for p in tables]
+                if host is None and poly_z.len <= HP.host_table_n():
+                    host = mle.decode_tables([p.Z for p in tables])
                 if host is not None:
                     v = HP.quad_evals(*host)
                 else:
                     if pending is None:
                         pending = k_quad_stack(poly_z.Z, poly_ABC.Z)
                     v = F.decode_fr(pending)
+            Timer.acc("zk_quad/evals", _time.perf_counter() - _t)
+            _t = _time.perf_counter()
             poly = UniPoly.from_evals([v[0], (claim_per_round - v[0]) % FR_MOD, v[1]])
             comm_poly = commit(poly.as_vec(), blinds_poly[j], gens_n)
             comm_poly.append_to_transcript(b"comm_poly", transcript)
             comm_polys.append(comm_poly)
 
             r_j = transcript.challenge_scalar(b"challenge_nextround")
+            Timer.acc("zk_quad/commit_poly", _time.perf_counter() - _t)
+            _t = _time.perf_counter()
             if mesh_tables is not None and mesh_tables.active():
                 if mesh_tables.can_step():
                     pending = mesh_tables.step_quad(mle.encode_scalar(r_j))
@@ -815,20 +835,23 @@ class ZKSumcheckInstanceProof:
                 host = [HP.fold_top(t, r_j) for t in host]
             else:
                 r_dev = mle.encode_scalar(r_j)
-                if poly_z.len // 2 <= HP.HOST_N:
+                if poly_z.len // 2 <= HP.host_table_n():
                     folded = k_folds_quad(poly_z.Z, poly_ABC.Z, r_dev)
                     pending = None
                 else:
                     *folded, pending = k_step_quad(poly_z.Z, poly_ABC.Z, r_dev)
                 for p, z in zip(tables, folded):
                     p.rebind(z)
+            Timer.acc("zk_quad/fold", _time.perf_counter() - _t)
 
+            _t = _time.perf_counter()
             blind_sc = blind_claim if j == 0 else blinds_evals[j - 1]
             proof, eval_, comm_eval = ZKSumcheckInstanceProof._round_tail(
                 poly, r_j, claim_per_round, comm_claim_per_round,
                 blinds_poly[j], blinds_evals[j], blind_sc,
                 gens_1, gens_n, transcript, random_tape,
             )
+            Timer.acc("zk_quad/round_tail", _time.perf_counter() - _t)
             proofs.append(proof)
             claim_per_round = eval_
             comm_claim_per_round = comm_eval

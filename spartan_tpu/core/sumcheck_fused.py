@@ -64,10 +64,18 @@ def fused_enabled() -> bool:
     if FUSED is not None:
         return FUSED
     return jax.default_backend() == "tpu"
-# largest table length the fused tail will stack (copies the tables once)
-FUSE_MAX_N = int(os.environ.get("SPARTAN_TPU_FUSE_MAX_N", str(1 << 17)))
+# largest table length the fused driver will stack (hard cap); the real
+# limiter is the stack-copy memory budget below
+FUSE_MAX_N = int(os.environ.get("SPARTAN_TPU_FUSE_MAX_N", str(1 << 21)))
+# stacked-buffer byte budget: BUF + its fold copy live simultaneously
+FUSE_BUDGET_BYTES = int(os.environ.get("SPARTAN_TPU_FUSE_BUDGET", str(2 << 30)))
 # small bucket so tiny protocol runs (tests) don't pad to FUSE_MAX_N
 SMALL_BUCKET_N = min(FUSE_MAX_N, 1 << 12)
+
+
+def fusible(n: int, n_tables: int) -> bool:
+    """Whether an n-long, n_tables-wide sumcheck fits the fused driver."""
+    return n <= FUSE_MAX_N and 2 * n_tables * n * 64 <= FUSE_BUDGET_BYTES
 
 _TWO_INV = pow(2, -1, FR_MOD)
 _SIX_INV = pow(6, -1, FR_MOD)
@@ -125,23 +133,13 @@ def _k_prep(tables, *, N):
     return BUF
 
 
-@aot_jit(static_argnames=("nP", "nS"))
-def _k_fused_cubic_batched(state, pos, pos_begin, BUF, coeffs, claim,
-                           num_rounds, *, nP, nS):
-    """All rounds of the batched cubic product sumcheck, one dispatch.
+def _make_round_body(coeffs, nP, nS):
+    """One sumcheck round (evals + transcript + fold) as a while_loop body.
 
-    BUF: [2I + 1 + nS, N, 16] stacked tables, bit-reverse permuted and
-    zero-padded to the bucket size N, in the order A_par|A_seq |
-    B_par|B_seq | C_par | C_seq. ``num_rounds`` is TRACED and the rounds
-    run under a lax.while_loop over the fixed-size buffer (zero padding
-    contributes exact zeros to every sum), so ONE executable serves every
-    sumcheck of this instance layout up to N — compile count is O(1) in
-    both table length and round count. Returns a single
-    [R_MAX*4 + R_MAX + M, 16] matrix: round-poly coeffs (low-to-high),
-    challenges, then the final table values (valid rows per num_rounds).
+    Shared by the dynamic-round tail kernel and the static-k stage kernel.
+    Carry: (j, BUF, strobe_state, pos, pos_begin, e, polys_buf, rs_buf).
     """
     I = nP + nS
-    R_MAX = int(BUF.shape[1]).bit_length() - 1
 
     def body(carry):
         j, BUF, st, p, pb, e, polys_buf, rs_buf = carry
@@ -190,6 +188,27 @@ def _k_fused_cubic_batched(state, pos, pos_begin, BUF, coeffs, claim,
         st, p, pb = tr.carry()
         return (j + 1, BUF, st, p, pb, e, polys_buf, rs_buf)
 
+    return body
+
+
+@aot_jit(static_argnames=("nP", "nS"))
+def _k_fused_cubic_batched(state, pos, pos_begin, BUF, coeffs, claim,
+                           num_rounds, *, nP, nS):
+    """All remaining rounds of the batched cubic product sumcheck, one
+    dispatch (the small-table tail).
+
+    BUF: [2I + 1 + nS, N, 16] stacked tables, bit-reverse permuted and
+    zero-padded to the bucket size N, in the order A_par|A_seq |
+    B_par|B_seq | C_par | C_seq. ``num_rounds`` is TRACED and the rounds
+    run under a lax.while_loop over the fixed-size buffer (zero padding
+    contributes exact zeros to every sum), so ONE executable serves every
+    sumcheck of this instance layout up to N. Returns a single
+    [R_MAX*4 + R_MAX + M, 16] matrix: round-poly coeffs (low-to-high),
+    challenges, then the final table values (valid rows per num_rounds).
+    """
+    R_MAX = int(BUF.shape[1]).bit_length() - 1
+    body = _make_round_body(coeffs, nP, nS)
+
     L = BUF.shape[-1]
     carry0 = (jnp.asarray(0, jnp.int32), BUF, state,
               jnp.asarray(pos, jnp.int32), jnp.asarray(pos_begin, jnp.int32),
@@ -202,13 +221,49 @@ def _k_fused_cubic_batched(state, pos, pos_begin, BUF, coeffs, claim,
         [polys_buf.reshape(R_MAX * 4, L), rs_buf, finals], axis=0)
 
 
+@aot_jit(static_argnames=("nP", "nS", "k", "out_n"))
+def _k_fused_stage(state, pos, pos_begin, BUF, coeffs, claim, *, nP, nS,
+                   k: int, out_n: int):
+    """Exactly ``k`` rounds over the full buffer, then hand the live
+    (front) ``out_n`` columns of the folded buffer to the next stage.
+
+    Running every round at the top size wastes rounds x N work (a 2^13
+    table padded to a 2^17 bucket cost ~100x its ideal 2N); instead the
+    driver chains stage executables whose buffers shrink 4x per call, so
+    total work is the geometric ~2.7N while the per-(layout, size)
+    executable count stays logarithmic. Returns
+    ([k*4 + k, 16] polys+challenges, BUF[:, :out_n]).
+    """
+    body = _make_round_body(coeffs, nP, nS)
+    L = BUF.shape[-1]
+    carry0 = (jnp.asarray(0, jnp.int32), BUF, state,
+              jnp.asarray(pos, jnp.int32), jnp.asarray(pos_begin, jnp.int32),
+              claim, jnp.zeros((k, 4, L), BUF.dtype),
+              jnp.zeros((k, L), BUF.dtype))
+    out = jax.lax.while_loop(lambda c: c[0] < k, body, carry0)
+    _, BUF, st, p, pb, e, polys_buf, rs_buf = out
+    return (jnp.concatenate([polys_buf.reshape(k * 4, L), rs_buf], axis=0),
+            BUF[:, :out_n], st, p, pb, e)
+
+
+def _canonical_below(m: int, small_log: int) -> int:
+    """Largest stage size log2 < m on the {small_log + 2j} grid."""
+    cand = m - 1
+    while (cand - small_log) % 2 != 0:
+        cand -= 1
+    return cand
+
+
 def prove_cubic_batched_fused(claim: int, num_rounds: int,
                               TA, TB, TC, Cp, nP: int, coeffs, transcript):
-    """Fused tail for SumcheckInstanceProof.prove_cubic_batched.
+    """Fused driver for SumcheckInstanceProof.prove_cubic_batched.
 
     TA/TB: per-instance device tables (par then seq), TC: seq-only C
-    tables, Cp: shared par C table. One dispatch + one transfer for all
-    ``num_rounds`` rounds; the host replays the round polys through
+    tables, Cp: shared par C table. Tables above SMALL_BUCKET_N run as a
+    chain of stage executables whose buffers shrink 4x per call (total
+    work the geometric ~2.7N instead of rounds x N), then one
+    dynamic-round tail executable finishes every sumcheck of this layout
+    at SMALL_BUCKET_N. The host replays each call's round polys through
     ``transcript`` and asserts the device challenges match.
     Returns (compressed_polys, r, claims_prod, claims_dotp).
     """
@@ -217,39 +272,63 @@ def prove_cubic_batched_fused(claim: int, num_rounds: int,
     n = int(Cp.shape[0])
     assert n == (1 << num_rounds)
 
-    # bucket the buffer size so ONE executable serves every sumcheck of
-    # this instance layout (tables zero-padded; rounds dynamic). Padding
-    # waste is negligible on the TPU but real on the CPU test backend, so
-    # CPU runs use exact sizes (per-shape compiles, persistent-cached).
-    if jax.default_backend() == "tpu":
-        N = SMALL_BUCKET_N if n <= SMALL_BUCKET_N else FUSE_MAX_N
+    # tiny sumchecks pad up to the shared tail bucket on TPU; CPU coverage
+    # runs use exact sizes (per-shape compiles, persistent-cached)
+    if jax.default_backend() == "tpu" and n < SMALL_BUCKET_N:
+        N = SMALL_BUCKET_N
     else:
         N = n
-    R_MAX = N.bit_length() - 1
     BUF = _k_prep(tuple(TA) + tuple(TB) + (Cp,) + tuple(TC), N=N)
     state, pos, pos_begin, _ = TD.DeviceTranscript.export_host_state(transcript)
     enc = F.encode_fr([c % FR_MOD for c in coeffs] + [claim % FR_MOD])
     coeffs_d, claim_d = enc[:I], enc[I]
 
-    out = _k_fused_cubic_batched(
-        jnp.asarray(state), pos, pos_begin, BUF, coeffs_d, claim_d,
-        jnp.asarray(num_rounds, jnp.int32), nP=nP, nS=nS)
-    vals = F.decode_fr(out)  # the single device->host transfer
+    # the device transcript state (STROBE sponge + positions) and the
+    # running claim are carried stage-to-stage ON DEVICE: the whole chain
+    # runs with zero host syncs, and the ONE decode at the end feeds the
+    # host replay that re-derives and cross-checks every challenge
+    st, p, pb = jnp.asarray(state), pos, pos_begin
+    stages: list[tuple[int, int]] = []  # (rounds, R_MAX) per call
+    outs = []                            # device [5k(+M), 16] blocks
+    small_log = SMALL_BUCKET_N.bit_length() - 1
+    n_live = N
+    while n_live > SMALL_BUCKET_N:
+        m = n_live.bit_length() - 1
+        target_log = _canonical_below(m, small_log)
+        k = m - target_log  # 1 or 2
+        out, BUF, st, p, pb, claim_d = _k_fused_stage(
+            st, p, pb, BUF, coeffs_d, claim_d,
+            nP=nP, nS=nS, k=k, out_n=1 << target_log)
+        stages.append((k, k))
+        outs.append(out)
+        n_live = 1 << target_log
 
-    R = num_rounds
+    R_MAX = n_live.bit_length() - 1
+    rounds_left = num_rounds - sum(k for k, _ in stages)
+    out = _k_fused_cubic_batched(
+        st, p, pb, BUF, coeffs_d, claim_d,
+        jnp.asarray(rounds_left, jnp.int32), nP=nP, nS=nS)
+    stages.append((rounds_left, R_MAX))
+    outs.append(out)
+
+    vals = F.decode_fr(jnp.concatenate(outs, axis=0))  # the ONE transfer
+
     polys: list[CompressedUniPoly] = []
     r: list[int] = []
-    for j in range(R):
-        poly = UniPoly(vals[4 * j:4 * j + 4])
-        poly.append_to_transcript(b"poly", transcript)
-        r_j = transcript.challenge_scalar(b"challenge_nextround")
-        if r_j != vals[4 * R_MAX + j]:
-            raise RuntimeError(
-                f"device transcript diverged from host at round {j}")
-        r.append(r_j)
-        polys.append(poly.compress())
+    off = 0
+    for k, rmax in stages:
+        for j in range(k):
+            poly = UniPoly(vals[off + 4 * j:off + 4 * j + 4])
+            poly.append_to_transcript(b"poly", transcript)
+            r_j = transcript.challenge_scalar(b"challenge_nextround")
+            if r_j != vals[off + 4 * rmax + j]:
+                raise RuntimeError(
+                    f"device transcript diverged from host at round {len(r)}")
+            r.append(r_j)
+            polys.append(poly.compress())
+        off += 5 * rmax
 
-    finals = vals[5 * R_MAX:]
+    finals = vals[off:]
     finals_A, finals_B = finals[:I], finals[I:2 * I]
     c_par_final = finals[2 * I]
     finals_C = finals[2 * I + 1:2 * I + 1 + nS]

@@ -113,12 +113,15 @@ def run(inst, vars_, inputs, max_nnz, pcs: str = "hyrax", json_out: bool = False
     tape = RandomTape(b"snark_proof")
     pt = Transcript(b"keyless_bench")
     Timer.collect()
+    Timer.acc_reset()
     proof = SNARK.prove(inst, comm, decomm, vars_, inputs, gens, pt, tape,
                         mesh=mesh)
     report["prove_s"] = time.perf_counter() - t0
     report["prove_phases"] = [
         {"depth": d, "label": lbl, "s": round(dt, 4)}
         for d, lbl, dt in Timer.records()]
+    report["prove_acc"] = [
+        {"label": lbl, "s": round(v, 4)} for lbl, v in Timer.acc_records()]
     Timer.collect(False)
 
     t0 = time.perf_counter()

@@ -29,7 +29,14 @@ def _build() -> str | None:
         with open(src, "rb") as f:
             h.update(f.read())
     digest = h.hexdigest()[:16]
-    cache_dir = os.environ.get("SPARTAN_TPU_NATIVE_DIR", tempfile.gettempdir())
+    cache_dir = os.environ.get("SPARTAN_TPU_NATIVE_DIR")
+    if not cache_dir:
+        try:
+            from spartan_tpu.utils.cachedir import subdir
+
+            cache_dir = subdir("native")
+        except OSError:
+            cache_dir = tempfile.gettempdir()
     so_path = os.path.join(cache_dir, f"spartan_native_{digest}.so")
     if os.path.exists(so_path):
         return so_path

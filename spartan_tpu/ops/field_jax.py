@@ -478,7 +478,26 @@ def _native_fr_mont():
 
 
 def encode_fr(values, spec: FieldSpec = FR) -> jnp.ndarray:
-    """Python ints (canonical) -> device limbs in Montgomery form."""
+    """Python ints (canonical) -> device limbs in Montgomery form.
+
+    Every call is one host->device transfer — a full tunnel round trip
+    (~33 ms) on the remote dev chip — so callers on the prove path should
+    batch values into as few encodes as possible (see Timer.acc
+    "sync/encode_fr" accounting in the bench report).
+    """
+    import time as _time
+
+    from spartan_tpu.utils.timer import Timer as _Timer
+
+    _t = _time.perf_counter()
+    try:
+        return _encode_fr_inner(values, spec)
+    finally:
+        _Timer.acc("sync/encode_fr", _time.perf_counter() - _t)
+        _Timer.count("sync/encode_fr")
+
+
+def _encode_fr_inner(values, spec: FieldSpec = FR) -> jnp.ndarray:
     vals = [v % spec.modulus for v in values]
     if len(vals) <= _HOST_CONVERT_N:
         N = _native_fr_mont() if spec is FR else None
@@ -494,7 +513,24 @@ def encode_fr(values, spec: FieldSpec = FR) -> jnp.ndarray:
 
 
 def decode_fr(arr, spec: FieldSpec = FR) -> list[int]:
-    """Device limbs in Montgomery form -> Python ints (canonical)."""
+    """Device limbs in Montgomery form -> Python ints (canonical).
+
+    One device->host sync per call (~33 ms tunnel round trip on the
+    remote dev chip) — batch before decoding on the prove path.
+    """
+    import time as _time
+
+    from spartan_tpu.utils.timer import Timer as _Timer
+
+    _t = _time.perf_counter()
+    try:
+        return _decode_fr_inner(arr, spec)
+    finally:
+        _Timer.acc("sync/decode_fr", _time.perf_counter() - _t)
+        _Timer.count("sync/decode_fr")
+
+
+def _decode_fr_inner(arr, spec: FieldSpec = FR) -> list[int]:
     arr = jnp.asarray(arr)
     count = arr.size // NUM_LIMBS
     if count <= _HOST_CONVERT_N:

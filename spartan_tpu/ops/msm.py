@@ -57,12 +57,25 @@ def _use_seq_kernel() -> bool:
     return _seq_kernel_ok
 
 # Per-call element budget (#rows x N) for gathered window points. The
-# bucket scan holds ~8 live copies of [rows, N, 3, 16] u32 on device, so
-# ~200 bytes/element x budget must fit HBM alongside the base points.
-# 2^20 => ~1.6 GB of scan temporaries per call on a 16 GB chip.
+# scan path holds ~8 live copies of [rows, N, 3, 16] u32 on device
+# (~200 B/element); the sequential Pallas path streams the gathered
+# points plus the prefix output (~400 B/element). 2^22 => ~1.6 GB of
+# transients per call on the 16 GB chip; the CPU test backend keeps a
+# smaller budget purely to bound test-host memory.
 import os as _os
 
-_CHUNK_BUDGET = int(_os.environ.get("SPARTAN_TPU_MSM_BUDGET", str(1 << 20)))
+_CHUNK_BUDGET = int(_os.environ.get("SPARTAN_TPU_MSM_BUDGET", "0"))
+
+
+def _chunk_budget() -> int:
+    global _CHUNK_BUDGET
+    if _CHUNK_BUDGET == 0:
+        try:
+            _CHUNK_BUDGET = (1 << 22) if jax.default_backend() == "tpu" \
+                else (1 << 20)
+        except RuntimeError:
+            return 1 << 20
+    return _CHUNK_BUDGET
 
 
 @aot_jit(static_argnames=("c", "num_bits"))
@@ -200,7 +213,7 @@ def _choose_seq_params(n: int, batch_rows: int) -> tuple[int, int]:
     best = None
     for c in range(7, 14):
         W = -(-254 // c)
-        rows_per_call = min(max(1, _CHUNK_BUDGET // n), W * batch_rows)
+        rows_per_call = min(max(1, _chunk_budget() // n), W * batch_rows)
         nseg = 1
         while rows_per_call * nseg < 384 and (n // nseg) >= 512:
             nseg *= 2
@@ -223,6 +236,22 @@ def msm_ladder(points, scalars):
     return reduce_points(prods, axis=scalars.ndim - 2)
 
 
+def _ladder_threshold() -> int:
+    """Below this size the batched double-and-add ladder wins.
+
+    On CPU (tests, the multichip dry run) the cutoff is higher: the
+    bucket path's unrolled associative scan compiles far slower per shape
+    than the ladder's one compact fori_loop, and dry-run-size MSMs are
+    dominated by compile time. 256 balances that against the ladder's
+    254-sequential-step runtime, which at the unoptimized CPU codegen
+    level dwarfs the bucket walk above a few hundred points.
+    """
+    try:
+        return 64 if jax.default_backend() == "tpu" else 256
+    except RuntimeError:
+        return 64
+
+
 def msm(points, scalars, c: int | None = None):
     """MSM driver. points affine device tuple; scalars [..., N, 16] canonical.
 
@@ -232,7 +261,7 @@ def msm(points, scalars, c: int | None = None):
     """
     n = scalars.shape[-2]
     batch_shape = scalars.shape[:-2]
-    if n <= 64:
+    if n <= _ladder_threshold():
         return msm_ladder(points, scalars)
     B_rows = 1
     for s in batch_shape:
@@ -253,7 +282,7 @@ def msm(points, scalars, c: int | None = None):
     dig = jnp.moveaxis(digits.reshape(B, n, W), -1, 0).reshape(W * B, n)
 
     total_rows = W * B
-    rows_per_call = min(max(1, _CHUNK_BUDGET // n), total_rows)
+    rows_per_call = min(max(1, _chunk_budget() // n), total_rows)
     parts = []
     start = 0
     # pad row count so every device call shares one shape/compilation

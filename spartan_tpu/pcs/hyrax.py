@@ -113,7 +113,8 @@ class PolyEvalProof:
         L_dev, R_dev = eq.compute_factored_evals()
         from spartan_tpu.core import hostpath as HP
 
-        if poly.len <= HP.HOST_N:
+        if poly.len <= HP.HOST_N or (mesh is None
+                                     and poly.len <= HP.host_table_n()):
             L_host = HP.eq_evals(r[:left])
             Zh = poly.to_ints()
             LZ_host = [sum(L_host[i] * Zh[i * R_size + j] % FR_MOD

@@ -13,8 +13,9 @@ directly — measured ~0.2 s load + sub-ms dispatch where trace+compile was
 
 Scope: enabled on the TPU backend only (the CPU test backend keeps plain
 jit so tests exercise the standard path), opt-out via SPARTAN_TPU_AOT=0.
-Cache files are self-written pickles under /tmp keyed by content hashes —
-they are a local build artifact, not an interchange format.
+Cache files are self-written pickles under the repo-local cache root
+(utils/cachedir.py) keyed by content hashes — a local build artifact, not
+an interchange format.
 """
 
 from __future__ import annotations
@@ -61,8 +62,9 @@ def _dir() -> str:
         dev = jax.devices()[0]
         tag = f"{dev.platform}_{getattr(dev, 'device_kind', 'x')}".replace(
             " ", "_").replace("/", "_")
-        _cache_dir = f"/tmp/spartan_tpu_aot_{tag}"
-        os.makedirs(_cache_dir, exist_ok=True)
+        from spartan_tpu.utils.cachedir import subdir
+
+        _cache_dir = subdir(f"aot_{tag}")
     return _cache_dir
 
 

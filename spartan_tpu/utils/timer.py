@@ -58,3 +58,27 @@ class Timer:
     def print(msg: str) -> None:
         if Timer._enabled:
             print(msg, flush=True)
+
+    # -- cross-call accumulators (for per-round loops where a Timer per
+    # -- iteration would spam the record stream) ---------------------------
+    _acc: dict = {}
+    _counts: dict = {}
+
+    @staticmethod
+    def acc(label: str, dt: float) -> None:
+        Timer._acc[label] = Timer._acc.get(label, 0.0) + dt
+
+    @staticmethod
+    def count(label: str, k: int = 1) -> None:
+        Timer._counts[label] = Timer._counts.get(label, 0) + k
+
+    @staticmethod
+    def acc_reset() -> None:
+        Timer._acc = {}
+        Timer._counts = {}
+
+    @staticmethod
+    def acc_records() -> list:
+        """[(label, seconds)] + [(label, count)] sorted by time desc."""
+        out = sorted(Timer._acc.items(), key=lambda kv: -kv[1])
+        return out + [(f"n:{k}", v) for k, v in sorted(Timer._counts.items())]

@@ -12,7 +12,17 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# NOTE: the multichip dry run uses --xla_backend_optimization_level=0
+# (11x faster compiles); tests deliberately do NOT — the 2^10-2^12 e2e
+# tests are runtime-bound and unoptimized codegen triples the suite.
+# the virtual 8-device mesh runs collectives across host threads; under
+# CPU contention the default 40 s rendezvous terminate-timeout hard-kills
+# the whole process (observed in CI-style parallel runs)
+if "collective_call_terminate_timeout" not in flags:
+    flags = (flags + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+             " --xla_cpu_collective_call_terminate_timeout_seconds=600").strip()
+os.environ["XLA_FLAGS"] = flags
 os.environ["JAX_PLATFORMS"] = "cpu"
 # must land before jax reads its config at import (spartan_tpu/__init__ is
 # too late here: this conftest imports jax first). Same platform+CPU
@@ -32,9 +42,10 @@ def _cpu_fingerprint() -> str:
     return "nofp"
 
 
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    f"/tmp/spartan_tpu_jax_cache_cpu_{_cpu_fingerprint()}")
+_repo_cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                           ".spartan_cache", f"jax_cache_cpu_{_cpu_fingerprint()}")
+os.makedirs(_repo_cache, exist_ok=True)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _repo_cache)
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 import jax  # noqa: E402

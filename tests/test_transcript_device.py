@@ -77,7 +77,12 @@ def test_device_transcript_challenge_scalar():
     assert bytes(t.strobe.state) == np.asarray(dt.state).tobytes()
 
 
-@pytest.mark.parametrize("n,nP,nS", [(64, 3, 0), (32, 2, 2), (128, 12, 6)])
+@pytest.mark.parametrize("n,nP,nS", [
+    (64, 3, 0), (32, 2, 2), (128, 12, 6),
+    # > SMALL_BUCKET_N: exercises the staged shrinking-buffer chain
+    # (one k=1 stage, one k=2 stage) ahead of the dynamic-round tail
+    (8192, 1, 0), (16384, 1, 1),
+])
 def test_fused_sumcheck_bit_identical(n, nP, nS):
     from spartan_tpu.core import mle
     from spartan_tpu.core import sumcheck_fused as SF
