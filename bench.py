@@ -38,12 +38,13 @@ def _rand_scalars(rng, n):
 
 
 def _msm_once(points, scalars_dev):
-    import jax
-
     from spartan_tpu.ops import msm as MSM
+    from spartan_tpu.utils.devsync import sync
 
     out = MSM.msm(points, scalars_dev)
-    jax.block_until_ready(out)
+    # real completion barrier: through the axon tunnel block_until_ready
+    # returns at dispatch-accept, ~1000x before the kernels finish
+    sync(out)
     return out
 
 
@@ -142,16 +143,17 @@ def main() -> None:
     if ROWS:
         from spartan_tpu.core.commitments import MultiCommitGens, commit_rows
         from spartan_tpu.ops import field_jax as F
+        from spartan_tpu.utils.devsync import sync as _real_sync
 
         R = n // ROWS
         gens = MultiCommitGens(b"bench_rows", R)
         Z = F.encode_fr(scalars).reshape(ROWS, R, -1)
         blinds = F.encode_fr(_rand_scalars(rng, ROWS))
         out = commit_rows(Z, blinds, gens)
-        jax.block_until_ready(out)
+        _real_sync(out)
         t1 = time.perf_counter()
         out = commit_rows(Z, blinds, gens)
-        jax.block_until_ready(out)
+        _real_sync(out)
         d = time.perf_counter() - t1
         print(f"# commit_rows [{ROWS}x{R}]: {n/d:.0f} points/s ({d:.2f} s)",
               file=sys.stderr)

@@ -35,7 +35,7 @@ import os as _os
 
 from spartan_tpu.ops import field_jax as F
 from spartan_tpu.ops.limbs import NUM_LIMBS
-from spartan_tpu.ops.pallas_field import _padd_block
+from spartan_tpu.ops.pallas_field import _padd_block, _padd_mixed_block
 from spartan_tpu.utils.aot_cache import aot_jit
 
 _U32 = jnp.uint32
@@ -58,10 +58,16 @@ def _identity_tiles(T, one_col):
     return z, one, z
 
 
-def _prefix_kernel(p_ref, one_ref, sd_ref, gx_ref, gy_ref, gz_ref,
+def _prefix_kernel(p_ref, one_ref, sd_ref, gx_ref, gy_ref,
                    ox_ref, oy_ref, oz_ref,
                    accx, accy, accz, prev, *, pp: int):
-    """One (BT-lane, CN-point) block of the prefix-with-reset walk."""
+    """One (BT-lane, CN-point) block of the prefix-with-reset walk.
+
+    Stream points are AFFINE (x, y) — complete mixed addition (11 muls,
+    no Z2 stream). Points that must not contribute (infinities, padding)
+    carry digit 0 / >= 2^c, so their garbage prefixes land only in runs
+    no bucket query ever reads.
+    """
     n_idx = pl.program_id(1)
 
     one_col = one_ref[:]
@@ -86,8 +92,8 @@ def _prefix_kernel(p_ref, one_ref, sd_ref, gx_ref, gy_ref, gz_ref,
         az = jnp.where(boundary, iz, az)
         px = gx_ref[pl.ds(i, 1)][0]                      # [16, BT]
         py = gy_ref[pl.ds(i, 1)][0]
-        pz = gz_ref[pl.ds(i, 1)][0]
-        ax, ay, az = _padd_block(ax, ay, az, px, py, pz, p_col, jnp.uint32(pp), unroll=True)
+        ax, ay, az = _padd_mixed_block(ax, ay, az, px, py, p_col,
+                                       jnp.uint32(pp), unroll=True)
         ox_ref[pl.ds(i, 1)] = ax[None]
         oy_ref[pl.ds(i, 1)] = ay[None]
         oz_ref[pl.ds(i, 1)] = az[None]
@@ -171,6 +177,11 @@ def bucket_windows_seq(points, digits, c: int, nseg: int = 1):
     B0, N0 = digits.shape
     nbuckets = (1 << c) - 1
 
+    # infinity points must not contribute: force their digit to 0, so the
+    # mixed-add walk confines their (garbage-coordinate) prefixes to the
+    # digit-0 run, which no bucket query reads
+    digits = jnp.where(pinf[None, :] != 0, jnp.zeros_like(digits), digits)
+
     if nseg > 1:
         m = -(-N0 // nseg)
         if m * nseg != N0:
@@ -179,8 +190,6 @@ def bucket_windows_seq(points, digits, c: int, nseg: int = 1):
                 [digits, jnp.zeros((B0, pad), digits.dtype)], axis=1)
             px = jnp.concatenate([px, jnp.zeros((pad, _L), _U32)], axis=0)
             py = jnp.concatenate([py, jnp.zeros((pad, _L), _U32)], axis=0)
-            pinf = jnp.concatenate(
-                [pinf, jnp.ones((pad,), pinf.dtype)], axis=0)
         digits = digits.reshape(B0, nseg, m).reshape(B0 * nseg, m)
         seg_off = ((jnp.arange(B0 * nseg, dtype=jnp.int32) % nseg) * m)[:, None]
     else:
@@ -193,38 +202,27 @@ def bucket_windows_seq(points, digits, c: int, nseg: int = 1):
     gidx = order if seg_off is None else order + seg_off
     gx = px[gidx]                                         # [B, N, 16]
     gy = py[gidx]
-    ginf = pinf[gidx]
-
-    dead = ginf | (sd == 0)
     fq = F.fq
-    gz = jnp.where(dead[..., None], fq.zeros(sd.shape), fq.one(sd.shape))
-    gx = jnp.where(dead[..., None], fq.zeros(sd.shape), gx)
-    gy = jnp.where(dead[..., None], fq.one(sd.shape), gy)
 
-    # pad B to _BT multiple, N to _CN multiple (pad digits 0 -> identity)
+    # pad B to _BT multiple, N to _CN multiple
     Bp = -(-B // _BT) * _BT
     Np = -(-N // _CN) * _CN
     if Bp != B:
         sd = jnp.concatenate([sd, jnp.zeros((Bp - B, N), sd.dtype)], axis=0)
         gx = jnp.concatenate([gx, jnp.zeros((Bp - B, N, _L), _U32)], axis=0)
-        gy = jnp.concatenate(
-            [gy, jnp.broadcast_to(fq.one(()), (Bp - B, N, _L)).astype(_U32)], axis=0)
-        gz = jnp.concatenate([gz, jnp.zeros((Bp - B, N, _L), _U32)], axis=0)
+        gy = jnp.concatenate([gy, jnp.zeros((Bp - B, N, _L), _U32)], axis=0)
     if Np != N:
         # pad digit must sort AFTER every real digit (rows stay sorted) and
-        # exceed every searchsorted query; points are identities
+        # exceed every searchsorted query; coords are don't-cares
         pad = Np - N
         sd = jnp.concatenate(
             [sd, jnp.full((Bp, pad), 1 << c, sd.dtype)], axis=1)
         gx = jnp.concatenate([gx, jnp.zeros((Bp, pad, _L), _U32)], axis=1)
-        gy = jnp.concatenate(
-            [gy, jnp.broadcast_to(fq.one(()), (Bp, pad, _L)).astype(_U32)], axis=1)
-        gz = jnp.concatenate([gz, jnp.zeros((Bp, pad, _L), _U32)], axis=1)
+        gy = jnp.concatenate([gy, jnp.zeros((Bp, pad, _L), _U32)], axis=1)
 
     # [N, 16, B] limb-major per point-step
     tx = jnp.transpose(gx, (1, 2, 0))
     ty = jnp.transpose(gy, (1, 2, 0))
-    tz = jnp.transpose(gz, (1, 2, 0))
     tsd = jnp.transpose(sd, (1, 0)).astype(_U32)          # [N, B]
 
     p_limbs = jnp.asarray(FQ.p_limbs, _U32)[:, None]
@@ -241,7 +239,7 @@ def bucket_windows_seq(points, digits, c: int, nseg: int = 1):
             pl.BlockSpec((_L, 1), lambda b, n: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_L, 1), lambda b, n: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_CN, _BT), lambda b, n: (n, b), memory_space=pltpu.VMEM),
-            spec3, spec3, spec3,
+            spec3, spec3,
         ],
         out_specs=(spec3, spec3, spec3),
         out_shape=tuple(jax.ShapeDtypeStruct((Np, _L, Bp), _U32) for _ in range(3)),
@@ -252,7 +250,7 @@ def bucket_windows_seq(points, digits, c: int, nseg: int = 1):
             pltpu.VMEM((1, _BT), _U32),
         ],
         interpret=_INTERPRET,
-    )(p_limbs, one_col, tsd, tx, ty, tz)
+    )(p_limbs, one_col, tsd, tx, ty)
     Px, Py, Pz = prefix
 
     # bucket sums: prefix at each digit-run end (searchsorted right - 1)

@@ -185,6 +185,34 @@ def _padd_block(X1, Y1, Z1, X2, Y2, Z2, p_col, pp, unroll: bool = False):
     return X3, Y3, Z3
 
 
+def _padd_mixed_block(X1, Y1, Z1, x2, y2, p_col, pp, unroll: bool = False):
+    """Complete MIXED projective+affine addition (RCB 2016 Alg 8, a=0).
+
+    P2 = (x2, y2) affine, P2 != infinity; P1 any projective point including
+    the identity (0, 1, 0). 11 Montgomery muls vs the full add's 12, and no
+    Z2 stream — the MSM prefix walk adds affine base points, so this is its
+    inner step.
+    """
+    mul = lambda x, y: _mont_mul_block(x, y, p_col, pp, unroll=unroll)
+    add = lambda x, y: _add_block(x, y, p_col)
+    sub = lambda x, y: _sub_block(x, y, p_col)
+
+    t0 = mul(X1, x2)
+    t1 = mul(Y1, y2)
+    t3 = sub(mul(add(x2, y2), add(X1, Y1)), add(t0, t1))
+    t4 = add(mul(y2, Z1), Y1)
+    y3 = add(mul(x2, Z1), X1)
+    t0_3 = add(add(t0, t0), t0)
+    t2 = _mul9_block(Z1, p_col)
+    z3 = add(t1, t2)
+    t1b = sub(t1, t2)
+    y3b = _mul9_block(y3, p_col)
+    X3 = sub(mul(t3, t1b), mul(t4, y3b))
+    Y3 = add(mul(t1b, z3), mul(y3b, t0_3))
+    Z3 = add(mul(z3, t4), mul(t0_3, t3))
+    return X3, Y3, Z3
+
+
 def _pdbl_block(X, Y, Z, p_col, pp):
     """Complete projective doubling (RCB 2016 Alg 9, a=0), VMEM-resident."""
     mul = lambda x, y: _mont_mul_block(x, y, p_col, pp)

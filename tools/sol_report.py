@@ -12,11 +12,15 @@ Run on the real chip:
 from __future__ import annotations
 
 import argparse
+
+
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from spartan_tpu.utils.devsync import sync as _real_sync  # real barrier: block_until_ready is dispatch-accept only through the axon tunnel
 
 # v5e published/probed machine rates
 HBM_GBPS = 820.0          # HBM bandwidth
@@ -51,11 +55,11 @@ def measure(n: int):
 
     def t(fn, *args, reps=5):
         out = fn(*args)
-        jax.block_until_ready(out)
+        _real_sync(out)
         t0 = time.perf_counter()
         for _ in range(reps):
             out = fn(*args)
-            jax.block_until_ready(out)
+            _real_sync(out)
         return (time.perf_counter() - t0) / reps
 
     a = F.encode_small_uints(rng.integers(1, 1 << 62, size=n, dtype=np.uint64))
