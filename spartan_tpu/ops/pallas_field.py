@@ -84,6 +84,64 @@ def _sub_block(a, b, p_col):
     return _cond_sub_block(d, p_col)
 
 
+def _mont_mul_cios_block(a, b, p_col, pp, unroll: bool = True):
+    """Montgomery product via CIOS (interleaved reduce) on [16, T] blocks.
+
+    Classic Coarsely-Integrated-Operand-Scanning: the working partial sum
+    never exceeds 17 rows (16-limb redundant u32 columns + a top word), vs
+    the separated product/REDC pipeline's 32-row sliding window — the wide
+    rolls and adds on that window are ~2/3 of the measured lane-ops, so
+    this form is ~2x cheaper on the VPU. Row bounds: each of 16 iterations
+    adds <= 4*(2^16-1) per column, so columns stay < 2^22 (u32-safe) with
+    no intermediate carries; m = S[0]*p' mod 2^16 is exact on the
+    redundant row because the mask commutes with mod 2^16.
+
+    Inputs: canonical 16-bit limbs (any value < 2^256 works; output
+    < 2^254 + p via the final carry + conditional subtract).
+    """
+    T = a.shape[1]
+    z1 = jnp.zeros((1, T), _U32)
+
+    def step(i, S_top, bi):
+        S, top = S_top
+        prod = a * bi                       # [16,T] exact 16x16->32
+        lo = prod & LIMB_MASK
+        hi = prod >> LIMB_BITS
+        S = S + lo
+        S = S + jnp.concatenate([z1, hi[:_L - 1]], axis=0)
+        top = top + hi[_L - 1:_L]
+        m = (S[0:1, :] * pp) & LIMB_MASK    # [1,T]
+        mp = m * p_col                      # [16,T]
+        mlo = mp & LIMB_MASK
+        mhi = mp >> LIMB_BITS
+        S = S + mlo
+        S = S + jnp.concatenate([z1, mhi[:_L - 1]], axis=0)
+        top = top + mhi[_L - 1:_L]
+        carry = S[0:1, :] >> LIMB_BITS      # S[0] == 0 mod 2^16 now
+        S = jnp.concatenate([S[1:2, :] + carry, S[2:, :], top], axis=0)
+        return (S, z1)
+
+    state = (jnp.zeros((_L, T), _U32), z1)
+    if unroll:
+        for i in range(_L):
+            state = step(i, state, b[i:i + 1, :])
+    else:
+        # operand limbs consumed least-significant first via a cyclic roll
+        # (dynamic_slice by the loop index has no Pallas TPU lowering)
+        def body(i, carry):
+            st, bw = carry
+            st = step(i, st, bw[0:1, :])
+            return (st, pltpu.roll(bw, _L - 1, axis=0))
+
+        state, _ = jax.lax.fori_loop(0, _L, body, (state, b))
+    S, _ = state
+    # S columns < 2^22 redundant; the final shift folded the last top word
+    # back into row 15, and the result < 2p < 2^255 so the carry chain
+    # terminates inside 16 limbs
+    x, _ = _carry_block(S)
+    return _cond_sub_block(x, p_col)
+
+
 def _mont_mul_block(a, b, p_col, pp, unroll: bool = False):
     """Montgomery product a*b*R^-1 mod p on [16, T] blocks (canonical).
 
@@ -91,7 +149,15 @@ def _mont_mul_block(a, b, p_col, pp, unroll: bool = False):
     at narrow tiles (T <= 256, e.g. the sequential MSM kernel's 128-lane
     accumulator) per-iteration loop overhead dwarfs the ~32-vreg step body,
     so unrolling is worth the larger program.
+
+    Default form: CIOS (see _mont_mul_cios_block) — measured ~2x fewer
+    VPU lane-ops than the separated product/REDC sliding-window pipeline
+    below, which is kept for A/B reference (SPARTAN_TPU_MONT=window).
     """
+    import os as __os
+
+    if __os.environ.get("SPARTAN_TPU_MONT", "cios") == "cios":
+        return _mont_mul_cios_block(a, b, p_col, pp, unroll=unroll)
     T = a.shape[1]
     row_ge_1_W = jax.lax.broadcasted_iota(jnp.int32, (_W, T), 0) >= 1
     row_lt_top = jax.lax.broadcasted_iota(jnp.int32, (_W, T), 0) < _W - 1
