@@ -67,8 +67,12 @@ def fused_enabled() -> bool:
 # largest table length the fused driver will stack (hard cap); the real
 # limiter is the stack-copy memory budget below
 FUSE_MAX_N = int(os.environ.get("SPARTAN_TPU_FUSE_MAX_N", str(1 << 21)))
-# stacked-buffer byte budget: BUF + its fold copy live simultaneously
-FUSE_BUDGET_BYTES = int(os.environ.get("SPARTAN_TPU_FUSE_BUDGET", str(2 << 30)))
+# Stacked-buffer byte budget: BUF + its fold copy live simultaneously,
+# ALONGSIDE the resident protocol state (at keyless 2^20 scale the product
+# trees + derefs tables hold most of the 16 GB HBM: a 2 GiB budget OOMed
+# the ops-trees layer at n=2^21 on the real chip). Layers over budget take
+# the one-dispatch-per-round path instead.
+FUSE_BUDGET_BYTES = int(os.environ.get("SPARTAN_TPU_FUSE_BUDGET", str(640 << 20)))
 # small bucket so tiny protocol runs (tests) don't pad to FUSE_MAX_N
 SMALL_BUCKET_N = min(FUSE_MAX_N, 1 << 12)
 
