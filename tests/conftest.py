@@ -49,6 +49,21 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _repo_cache)
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    A single pytest process running the whole suite segfaults inside
+    XLA:CPU's compiler after ~55 tests (state/memory accumulation across
+    hundreds of per-shape compiles; reproduced 3x at the same spot, while
+    every module passes in isolation). Clearing the in-memory executable
+    cache between modules keeps the process lean; the persistent disk
+    cache makes reloads cheap."""
+    yield
+    jax.clear_caches()
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir",
