@@ -17,6 +17,7 @@ of instance count.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import jax
@@ -150,6 +151,30 @@ def _batched_cubic_evals(TA, TB, TC, Cp, nP):
 @aot_jit(static_argnames=("nP",))
 def k_evals_cubic_batched(TA, TB, TC, Cp, nP: int):
     return _batched_cubic_evals(TA, TB, TC, Cp, nP)
+
+
+# one fused all-tables round step is fastest, but at keyless 2^20 scale the
+# top product-tree layers put ~25 tables x 2^21 elements through a single
+# executable whose inputs+outputs+internal temporaries exceed 16 GB HBM
+# (observed RESOURCE_EXHAUSTED on the real chip). Layers above this byte
+# bound run per-instance dispatches instead: same math, one small compiled
+# kernel per table SIZE (shared by every instance), transients bounded by
+# one instance triple.
+BIG_STEP_BYTES = int(os.environ.get("SPARTAN_TPU_BIG_STEP_BYTES", str(1 << 30)))
+
+
+def _cubic_tables_bytes(I: int, nS: int, n: int) -> int:
+    return (2 * I + 1 + nS) * n * 64
+
+
+def _evals_cubic_perinstance(TA, TB, TC, Cp, nP):
+    """[3I, 16] eval stack via one dispatch per instance (big layers)."""
+    outs = []
+    for k in range(len(TA)):
+        Ck = Cp if k < nP else TC[k - nP]
+        e0, e2, e3 = k_cubic_prod_evals(TA[k], TB[k], Ck)
+        outs.append(jnp.stack([e0, e2, e3], axis=0))
+    return jnp.concatenate(outs, axis=0)
 
 
 @aot_jit(static_argnames=("nP",))
@@ -387,7 +412,12 @@ class SumcheckInstanceProof:
                             HP.cubic_prod_evals(HA[nP + k], HB[nP + k], HCs[k])
                 else:
                     if pending is None:
-                        pending = k_evals_cubic_batched(TA, TB, TC, Cp, nP)
+                        if _cubic_tables_bytes(I, nS, TA[0].shape[0]) \
+                                > BIG_STEP_BYTES:
+                            pending = _evals_cubic_perinstance(
+                                TA, TB, TC, Cp, nP)
+                        else:
+                            pending = k_evals_cubic_batched(TA, TB, TC, Cp, nP)
                     vals = F.decode_fr(pending)
                     ev0 = vals[0::3]
                     ev2 = vals[1::3]
@@ -417,6 +447,15 @@ class SumcheckInstanceProof:
                 r_dev = mle.encode_scalar(r_j)
                 if TA[0].shape[0] // 2 <= HP.host_table_n():
                     TA, TB, TC, Cp = k_folds_cubic_batched(TA, TB, TC, Cp, r_dev)
+                    pending = None
+                elif _cubic_tables_bytes(I, nS, TA[0].shape[0] // 2) \
+                        > BIG_STEP_BYTES:
+                    # big layer: per-table folds (transients bounded by one
+                    # table; evals follow per-instance next iteration)
+                    Cp = k_fold_top(Cp, r_dev)
+                    TA = [k_fold_top(t, r_dev) for t in TA]
+                    TB = [k_fold_top(t, r_dev) for t in TB]
+                    TC = [k_fold_top(t, r_dev) for t in TC]
                     pending = None
                 else:
                     TA, TB, TC, Cp, pending = k_step_cubic_batched(

@@ -80,3 +80,45 @@ def test_batched_proof_with_dotp():
     vt = Transcript(b"test_with_dotp")
     claims, claims_dotp, _ = proof.verify([claim1], [el, er], 8, vt)
     assert len(claims_dotp) == 3
+
+
+def test_batched_proof_big_layer_chunked_bit_identical(monkeypatch):
+    """The per-instance big-layer path (engaged when a layer's tables exceed
+    BIG_STEP_BYTES, as at keyless 2^20 scale where the one-dispatch fused
+    step OOMed 16 GB HBM) must produce the same proof bytes as the fused
+    step and the fused-tail driver."""
+    from spartan_tpu.core import sumcheck as SC
+    from spartan_tpu.core import sumcheck_fused as SF
+    from spartan_tpu.core import hostpath as HP
+
+    rng = random.Random(5)
+    n = 256
+    circuits_vals = [[rng.randrange(1, FR_MOD) for _ in range(n)]
+                     for _ in range(3)]
+
+    def prove():
+        cs = [ProductCircuit(DensePolynomial.from_ints(v))
+              for v in circuits_vals]
+        pt = Transcript(b"test_chunked")
+        proof, _ = ProductCircuitEvalProofBatched.prove(cs, [], pt)
+        return proof
+
+    base = prove()
+
+    # force the chunked path for every device-sized layer: tiny byte budget,
+    # no fused tail, no host tail
+    monkeypatch.setattr(SC, "BIG_STEP_BYTES", 1)
+    monkeypatch.setattr(SF, "FUSED", False)
+    monkeypatch.setattr(HP, "HOST_N", 2)
+    chunked = prove()
+
+    for a, b in zip(base.proof, chunked.proof):
+        assert [p.coeffs_except_linear_term for p in a.proof.compressed_polys] \
+            == [p.coeffs_except_linear_term for p in b.proof.compressed_polys]
+        assert a.claims_prod_left == b.claims_prod_left
+        assert a.claims_prod_right == b.claims_prod_right
+
+    vt = Transcript(b"test_chunked")
+    claims = [ProductCircuit(DensePolynomial.from_ints(v)).evaluate()
+              for v in circuits_vals]
+    chunked.verify(claims, [], n, vt)
