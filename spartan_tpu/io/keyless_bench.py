@@ -103,9 +103,16 @@ def run(inst, vars_, inputs, max_nnz, pcs: str = "hyrax", json_out: bool = False
                      max_nnz, pcs=pcs, kzg_srs=kzg_srs)
     report["gens_s"] = time.perf_counter() - t0
 
+    from spartan_tpu.utils.timer import Timer as _Timer
+
     t0 = time.perf_counter()
+    _Timer.collect()
     comm, decomm = SNARK.encode(inst, gens, mesh=mesh)
     report["encode_s"] = time.perf_counter() - t0
+    report["encode_phases"] = [
+        {"depth": d, "label": lbl, "s": round(dt, 4)}
+        for d, lbl, dt in _Timer.records()]
+    _Timer.collect(False)
 
     from spartan_tpu.utils.timer import Timer
 
