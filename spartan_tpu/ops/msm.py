@@ -208,14 +208,20 @@ def _choose_seq_params(n: int, batch_rows: int) -> tuple[int, int]:
     Work per window-row = n (prefix walk) + 2 * 2^c * nseg (per-segment
     weighted bucket reduction); total = W(c) * batch * that. nseg must be
     large enough that the lane dimension (rows * W * nseg per chunk) fills
-    the 128-lane blocks, but segments shouldn't shrink below ~256 points.
+    the kernel's lane-block width, but segments shouldn't shrink below
+    ~256 points.
     """
+    from spartan_tpu.ops.msm_pallas import _BT
+
+    # fill exactly one lane-block: the grid serializes extra blocks, so
+    # lanes beyond _BT only multiply bucket-reduction work
+    lane_target = _BT
     best = None
     for c in range(7, 14):
         W = -(-254 // c)
         rows_per_call = min(max(1, _chunk_budget() // n), W * batch_rows)
         nseg = 1
-        while rows_per_call * nseg < 384 and (n // nseg) >= 512:
+        while rows_per_call * nseg < lane_target and (n // nseg) >= 512:
             nseg *= 2
         work = W * (n + 2 * (1 << c) * nseg)
         if best is None or work < best[0]:

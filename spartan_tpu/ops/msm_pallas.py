@@ -40,8 +40,12 @@ from spartan_tpu.utils.aot_cache import aot_jit
 
 _U32 = jnp.uint32
 _L = NUM_LIMBS  # 16
-_BT = 128       # lanes per block (window-rows)
-_CN = 64        # points per grid step
+# lanes per block x points per grid step: tools/padd_bench.py measured the
+# sequential mixed-add walk at 10.4 M adds/s with (512, 32) vs 8.9 M at the
+# old (128, 64); streamed blocks (2 in + 3 out coords) stay ~5.2 MB so
+# Mosaic's double buffering fits VMEM.
+_BT = int(_os.environ.get("SPARTAN_TPU_MSM_BT", "512"))
+_CN = int(_os.environ.get("SPARTAN_TPU_MSM_CN", "32"))
 
 # interpret=True runs the kernels through the Pallas interpreter (any
 # backend) — used by the CPU test suite to cover this path.
