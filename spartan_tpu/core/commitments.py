@@ -245,7 +245,7 @@ def commit(values: list[int], blind: int, gens: MultiCommitGens) -> GroupElem:
     assert len(values) == gens.n
     from spartan_tpu.core.hostpath import HOST_MSM_N
 
-    if gens.n + 1 <= HOST_MSM_N:
+    if gens.n <= HOST_MSM_N:
         Gs, h = gens.host_points()
         return GroupElem(CH.msm([v % FR_MOD for v in values] + [blind % FR_MOD],
                                 Gs + [h]))

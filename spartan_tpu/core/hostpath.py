@@ -29,11 +29,15 @@ HOST_N = int(os.environ.get("SPARTAN_TPU_HOST_N", "2048"))
 def _default_msm_threshold() -> int:
     """With the native C G1 backend (spartan_tpu/native/g1_host.c) host
     MSMs run ~60 us/point, so bullet rounds and small commits stay host up
-    to 2048; the pure-Python fallback is ~25x slower, keep 128 there."""
+    to 8192 (~0.5 s): at keyless 2^20 scale every bullet reduction runs at
+    n = 4096..8192, and the device path there is a ladder of one-off
+    sequential-bucket kernel shapes whose compile+dispatch cost measured
+    ~100 s/round on the real chip (the 1285 s derefs_eval_proof of round
+    2's bench). The pure-Python fallback is ~25x slower, keep 128 there."""
     try:
         from spartan_tpu import native as N
 
-        return 2048 if N.g1_available else 128
+        return 8192 if N.g1_available else 128
     except Exception:
         return 128
 

@@ -271,7 +271,7 @@ class DotProductProofLog:
         from spartan_tpu.core.hostpath import HOST_MSM_N
         from spartan_tpu.ops import curve_jax as CJ
 
-        if n + 1 <= HOST_MSM_N:
+        if n <= HOST_MSM_N:
             Cx = commit(F.decode_fr(x_mont), blind_x, gens.gens_n)
         else:
             Cx_pt = commit_device(x_mont, mle.encode_scalar(blind_x), gens.gens_n)
