@@ -177,6 +177,38 @@ def _evals_cubic_perinstance(TA, TB, TC, Cp, nP):
     return jnp.concatenate(outs, axis=0)
 
 
+@aot_jit
+def k_step_cubic_shared(A, B, Cf, r):
+    """Fold A,B by r; eval triple against an ALREADY-folded shared C."""
+    A, B = _fold(A, r), _fold(B, r)
+    e0, e2, e3 = _cubic_eval_triple(A, B, Cf)
+    return A, B, jnp.stack([e0, e2, e3], axis=0)
+
+
+@aot_jit
+def k_step_cubic_one(A, B, C, r):
+    """Fold one (A, B, C) instance by r and eval its next-round triple."""
+    A, B, C = _fold(A, r), _fold(B, r), _fold(C, r)
+    e0, e2, e3 = _cubic_eval_triple(A, B, C)
+    return A, B, C, jnp.stack([e0, e2, e3], axis=0)
+
+
+def _step_cubic_perinstance(TA, TB, TC, Cp, r, nP):
+    """Big-layer round step: fold every table AND compute next-round evals
+    in ~I+2 dispatches (instead of I evals + 2I+1+nS separate folds).
+    Mutates the TA/TB/TC lists in place; returns (Cp', pending_evals)."""
+    Cp = k_fold_top(Cp, r)
+    outs = []
+    for k in range(len(TA)):
+        if k < nP:
+            TA[k], TB[k], ev = k_step_cubic_shared(TA[k], TB[k], Cp, r)
+        else:
+            TA[k], TB[k], TC[k - nP], ev = k_step_cubic_one(
+                TA[k], TB[k], TC[k - nP], r)
+        outs.append(ev)
+    return Cp, jnp.concatenate(outs, axis=0)
+
+
 @aot_jit(static_argnames=("nP",))
 def k_step_cubic_batched(TA, TB, TC, Cp, r, nP: int):
     """Fold all tables by r, then next-round evals — one dispatch."""
@@ -450,13 +482,22 @@ class SumcheckInstanceProof:
                     pending = None
                 elif _cubic_tables_bytes(I, nS, TA[0].shape[0] // 2) \
                         > BIG_STEP_BYTES:
-                    # big layer: per-table folds (transients bounded by one
-                    # table; evals follow per-instance next iteration)
-                    Cp = k_fold_top(Cp, r_dev)
-                    TA = [k_fold_top(t, r_dev) for t in TA]
-                    TB = [k_fold_top(t, r_dev) for t in TB]
-                    TC = [k_fold_top(t, r_dev) for t in TC]
-                    pending = None
+                    # big layer: per-instance fold+eval steps (transients
+                    # bounded by one instance triple). Skip the fused-in
+                    # eval if the NEXT round switches drivers anyway.
+                    n_next = TA[0].shape[0] // 2
+                    next_is_fused = (SF.fused_enabled()
+                                     and SF.fusible(n_next, 2 * I + 1 + nS))
+                    if next_is_fused or n_next <= HP.host_table_n():
+                        Cp = k_fold_top(Cp, r_dev)
+                        TA = [k_fold_top(t, r_dev) for t in TA]
+                        TB = [k_fold_top(t, r_dev) for t in TB]
+                        TC = [k_fold_top(t, r_dev) for t in TC]
+                        pending = None
+                    else:
+                        TA, TB, TC = list(TA), list(TB), list(TC)
+                        Cp, pending = _step_cubic_perinstance(
+                            TA, TB, TC, Cp, r_dev, nP)
                 else:
                     TA, TB, TC, Cp, pending = k_step_cubic_batched(
                         TA, TB, TC, Cp, r_dev, nP)
