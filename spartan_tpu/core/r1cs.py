@@ -153,8 +153,11 @@ class R1CSCommitmentGens:
 
         nx = log_2(num_cons)
         ny = log_2(2 * num_vars)
+        # nnz floor 2 matches SparseMatPolynomial.get_num_nz_entries (a
+        # 1-entry ops table would give the lookup argument a zero-layer
+        # product tree)
         self.gens = SparseMatPolyCommitmentGens(
-            label, nx, ny, next_power_of_two(num_nz_entries), 3,
+            label, nx, ny, max(2, next_power_of_two(num_nz_entries)), 3,
             pcs=pcs, kzg_srs=kzg_srs)
 
 

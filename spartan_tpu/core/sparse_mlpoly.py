@@ -132,9 +132,15 @@ class SparseMatPolynomial:
         return len(self.vals)
 
     def get_num_nz_entries(self) -> int:
+        """Padded nnz (sparse_mlpoly_full.rs:74), floored at 2: the lookup
+        argument builds product trees over the ops tables, and a 1-entry
+        tree has zero layers (the reference's ProductCircuit::new underflows
+        `0..num_layers - 1` there, product_tree.rs:49 — it cannot prove a
+        1-nnz matrix at all; padding one zero term keeps tiny circuits
+        provable without changing any real workload's sizes)."""
         from spartan_tpu.utils.math import next_power_of_two
 
-        return next_power_of_two(len(self.vals))
+        return max(2, next_power_of_two(len(self.vals)))
 
     def _boundaries(self, axis: str, num_segments: int):
         key = (axis, num_segments)

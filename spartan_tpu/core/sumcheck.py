@@ -415,11 +415,18 @@ class SumcheckInstanceProof:
                 n0 % (2 * mesh.devices.size) == 0:
             mesh_t = _BatchedMeshTables(mesh, TA, TB, TC, Cp, nP)
 
+        def tail_fusible(n: int, rounds_left: int) -> bool:
+            """Whether the remaining rounds can run as one fused device
+            chain: the fused driver must be on, the stacked tables must fit
+            its budget, AND the table length must equal 2^rounds_left (the
+            fused kernel derives its round count from the buffer size)."""
+            return (SF.fused_enabled() and SF.fusible(n, 2 * I + 1 + nS)
+                    and n == (1 << rounds_left))
+
         fused_tail = None
         for j in range(num_rounds):
-            if (SF.fused_enabled() and mesh_t is None and host is None
-                    and SF.fusible(TA[0].shape[0], 2 * I + 1 + nS)
-                    and TA[0].shape[0] == (1 << (num_rounds - j))):
+            if (mesh_t is None and host is None
+                    and tail_fusible(TA[0].shape[0], num_rounds - j)):
                 # remaining rounds + Fiat-Shamir as ONE device dispatch
                 fused_tail = SF.prove_cubic_batched_fused(
                     e, num_rounds - j, TA, TB, TC, Cp, nP, coeffs, transcript)
@@ -484,11 +491,11 @@ class SumcheckInstanceProof:
                         > BIG_STEP_BYTES:
                     # big layer: per-instance fold+eval steps (transients
                     # bounded by one instance triple). Skip the fused-in
-                    # eval if the NEXT round switches drivers anyway.
+                    # eval if the NEXT round switches to the fused-tail
+                    # driver anyway (the host handoff can't happen here:
+                    # the elif above already took fold-only for that case).
                     n_next = TA[0].shape[0] // 2
-                    next_is_fused = (SF.fused_enabled()
-                                     and SF.fusible(n_next, 2 * I + 1 + nS))
-                    if next_is_fused or n_next <= HP.host_table_n():
+                    if tail_fusible(n_next, num_rounds - j - 1):
                         Cp = k_fold_top(Cp, r_dev)
                         TA = [k_fold_top(t, r_dev) for t in TA]
                         TB = [k_fold_top(t, r_dev) for t in TB]

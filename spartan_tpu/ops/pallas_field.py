@@ -222,7 +222,114 @@ def _mul9_block(a, p_col):
     return _add_block(a8, a, p_col)
 
 
-def _padd_block(X1, Y1, Z1, X2, Y2, Z2, p_col, pp, unroll: bool = False):
+# The curve formulas below come in two shapes:
+#
+#  * narrow — one Montgomery mul per product, in dependency order. The
+#    CIOS pipeline is itself a 16-step dependent chain, so a chain of
+#    narrow muls leaves the VPU latency-bound on narrow tiles.
+#  * wide — the RCB formulas happen to be TWO rounds of mutually
+#    independent products (5-6 muls each for the mixed add);
+#    concatenating the operand pairs along the lane axis runs each round
+#    as ONE [16, k*T] CIOS pipeline — k-fold shorter dependency chain.
+#
+# Measured on v5e (tools/padd_bench.py 20): narrow 10.65 M adds/s at
+# (BT=512, CN=32, unroll), wide 9.2-10.5 M at every tile tried — the
+# lane-axis concatenates are physical vreg shuffles that cost more than
+# the latency they hide, i.e. the narrow kernel is already ALU-throughput
+# bound, not latency bound. Narrow stays the default; wide is kept as the
+# measured A/B reference (SPARTAN_TPU_PADD=wide).
+import os as __os
+
+_PADD_WIDE = __os.environ.get("SPARTAN_TPU_PADD", "narrow") == "wide"
+
+
+def _cat(*xs):
+    return jnp.concatenate(xs, axis=1)
+
+
+def _splitn(r, k):
+    T = r.shape[1] // k
+    return [r[:, i * T:(i + 1) * T] for i in range(k)]
+
+
+def _padd_block_wide(X1, Y1, Z1, X2, Y2, Z2, p_col, pp, unroll: bool = False):
+    """Complete projective addition, wide-mul form (2 CIOS pipelines)."""
+    mul = lambda x, y: _mont_mul_block(x, y, p_col, pp, unroll=unroll)
+    add = lambda x, y: _add_block(x, y, p_col)
+    sub = lambda x, y: _sub_block(x, y, p_col)
+
+    s = add(_cat(X1, Y1, X1), _cat(Y1, Z1, Z1))      # X1+Y1 | Y1+Z1 | X1+Z1
+    u = add(_cat(X2, Y2, X2), _cat(Y2, Z2, Z2))      # X2+Y2 | Y2+Z2 | X2+Z2
+    m = mul(_cat(X1, Y1, Z1, s), _cat(X2, Y2, Z2, u))
+    t0, t1, t2, sp1, sp2, sp3 = _splitn(m, 6)
+    ssum = add(_cat(t0, t1, t0), _cat(t1, t2, t2))   # t0+t1 | t1+t2 | t0+t2
+    d = sub(_cat(sp1, sp2, sp3), ssum)
+    t3, t4, y3a = _splitn(d, 3)
+    nines = _mul9_block(_cat(t2, y3a), p_col)
+    t2b3, y3b = _splitn(nines, 2)
+    t0_3 = add(add(t0, t0), t0)
+    z3a = add(t1, t2b3)
+    t1b = sub(t1, t2b3)
+    m2 = mul(_cat(t4, t3, y3b, t1b, t0_3, z3a),
+             _cat(y3b, t1b, t0_3, z3a, t3, t4))
+    a_, bb, c_, d_, e_, f_ = _splitn(m2, 6)
+    fin = add(_cat(c_, f_), _cat(d_, e_))
+    Y3, Z3 = _splitn(fin, 2)
+    X3 = sub(bb, a_)
+    return X3, Y3, Z3
+
+
+def _padd_mixed_block_wide(X1, Y1, Z1, x2, y2, p_col, pp,
+                           unroll: bool = False):
+    """Complete mixed projective+affine addition, wide-mul form."""
+    mul = lambda x, y: _mont_mul_block(x, y, p_col, pp, unroll=unroll)
+    add = lambda x, y: _add_block(x, y, p_col)
+    sub = lambda x, y: _sub_block(x, y, p_col)
+
+    s = add(_cat(x2, X1), _cat(y2, Y1))              # x2+y2 | X1+Y1
+    sxy, sXY = _splitn(s, 2)
+    m = mul(_cat(X1, Y1, sxy, y2, x2), _cat(x2, y2, sXY, Z1, Z1))
+    t0, t1, sp, u, v = _splitn(m, 5)
+    a1 = add(_cat(t0, u, v), _cat(t1, Y1, X1))
+    t01, t4, y3 = _splitn(a1, 3)
+    t3 = sub(sp, t01)
+    nines = _mul9_block(_cat(Z1, y3), p_col)
+    t2, y3b = _splitn(nines, 2)
+    t0_3 = add(add(t0, t0), t0)
+    z3 = add(t1, t2)
+    t1b = sub(t1, t2)
+    m2 = mul(_cat(t3, t4, t1b, y3b, z3, t0_3),
+             _cat(t1b, y3b, z3, t0_3, t4, t3))
+    a_, b_, c_, d_, e_, f_ = _splitn(m2, 6)
+    fin = add(_cat(c_, e_), _cat(d_, f_))
+    Y3, Z3 = _splitn(fin, 2)
+    X3 = sub(a_, b_)
+    return X3, Y3, Z3
+
+
+def _pdbl_block_wide(X, Y, Z, p_col, pp):
+    """Complete projective doubling, wide-mul form."""
+    mul = lambda x, y: _mont_mul_block(x, y, p_col, pp)
+    add = lambda x, y: _add_block(x, y, p_col)
+    sub = lambda x, y: _sub_block(x, y, p_col)
+
+    m = mul(_cat(Y, Y, Z, X), _cat(Y, Z, Z, Y))
+    t0, t1, t2, xy = _splitn(m, 4)
+    t0_2 = add(t0, t0)
+    t0_4 = add(t0_2, t0_2)
+    z3a = add(t0_4, t0_4)
+    t2b3 = _mul9_block(t2, p_col)
+    y3a = add(t0, t2b3)
+    t2b3_3 = add(add(t2b3, t2b3), t2b3)
+    t0c = sub(t0, t2b3_3)
+    m2 = mul(_cat(t2b3, t1, t0c, t0c), _cat(z3a, z3a, y3a, xy))
+    x3a, Z3, y3b, x3b = _splitn(m2, 4)
+    Y3 = add(x3a, y3b)
+    X3 = add(x3b, x3b)
+    return X3, Y3, Z3
+
+
+def _padd_block_narrow(X1, Y1, Z1, X2, Y2, Z2, p_col, pp, unroll: bool = False):
     """Complete projective addition (RCB 2016 Alg 7, a=0), VMEM-resident."""
     mul = lambda x, y: _mont_mul_block(x, y, p_col, pp, unroll=unroll)
     add = lambda x, y: _add_block(x, y, p_col)
@@ -251,7 +358,7 @@ def _padd_block(X1, Y1, Z1, X2, Y2, Z2, p_col, pp, unroll: bool = False):
     return X3, Y3, Z3
 
 
-def _padd_mixed_block(X1, Y1, Z1, x2, y2, p_col, pp, unroll: bool = False):
+def _padd_mixed_block_narrow(X1, Y1, Z1, x2, y2, p_col, pp, unroll: bool = False):
     """Complete MIXED projective+affine addition (RCB 2016 Alg 8, a=0).
 
     P2 = (x2, y2) affine, P2 != infinity; P1 any projective point including
@@ -279,7 +386,7 @@ def _padd_mixed_block(X1, Y1, Z1, x2, y2, p_col, pp, unroll: bool = False):
     return X3, Y3, Z3
 
 
-def _pdbl_block(X, Y, Z, p_col, pp):
+def _pdbl_block_narrow(X, Y, Z, p_col, pp):
     """Complete projective doubling (RCB 2016 Alg 9, a=0), VMEM-resident."""
     mul = lambda x, y: _mont_mul_block(x, y, p_col, pp)
     add = lambda x, y: _add_block(x, y, p_col)
@@ -303,6 +410,21 @@ def _pdbl_block(X, Y, Z, p_col, pp):
     Y3 = add(x3a, y3b)
     X3 = add(x3b, x3b)
     return X3, Y3, Z3
+
+
+def _padd_block(X1, Y1, Z1, X2, Y2, Z2, p_col, pp, unroll: bool = False):
+    f = _padd_block_wide if _PADD_WIDE else _padd_block_narrow
+    return f(X1, Y1, Z1, X2, Y2, Z2, p_col, pp, unroll=unroll)
+
+
+def _padd_mixed_block(X1, Y1, Z1, x2, y2, p_col, pp, unroll: bool = False):
+    f = _padd_mixed_block_wide if _PADD_WIDE else _padd_mixed_block_narrow
+    return f(X1, Y1, Z1, x2, y2, p_col, pp, unroll=unroll)
+
+
+def _pdbl_block(X, Y, Z, p_col, pp):
+    f = _pdbl_block_wide if _PADD_WIDE else _pdbl_block_narrow
+    return f(X, Y, Z, p_col, pp)
 
 
 # ---------------------------------------------------------------------------

@@ -30,20 +30,27 @@ _cache_guard_installed = False
 
 
 def _install_cpu_mesh_cache_guard() -> None:
-    """Skip persistent-compile-cache writes for multi-device CPU executables.
+    """Optionally skip persistent-cache writes for multi-device CPU
+    executables (SPARTAN_TPU_CPU_MESH_CACHE=0).
 
-    jaxlib's XLA:CPU ``executable.serialize()`` SIGSEGVs on very large
-    multi-device executables (observed on the 8-virtual-device mesh SNARK
-    step; the crash is inside put_executable_and_time, below any Python
-    try/except). TPU executables serialize fine and stay cached; CPU mesh
-    runs only ever happen in tests and the driver's dryrun, where losing
-    the cross-process cache for these few entries is the cheap price of
-    not segfaulting the whole run.
+    An earlier jaxlib SIGSEGVed inside ``executable.serialize()`` on very
+    large multi-device CPU executables (below any Python try/except), so
+    these writes used to be skipped unconditionally. On the current jaxlib
+    the K=12 batched mesh SNARK step (the largest module the prover
+    builds, ~30 MB serialized) round-trips fine — re-verified before the
+    skip was lifted — and caching it is what makes the driver's multichip
+    dryrun pass its timeout (that one module costs ~220 s of XLA:CPU
+    compile on this 1-core box). The env switch restores the old skip if
+    a future jaxlib regresses.
     """
     global _cache_guard_installed
     if _cache_guard_installed:
         return
     _cache_guard_installed = True
+    import os
+
+    if os.environ.get("SPARTAN_TPU_CPU_MESH_CACHE", "1") != "0":
+        return  # writes allowed — nothing to install
     from jax._src import compilation_cache as _cc
 
     _orig_put = _cc.put_executable_and_time

@@ -32,28 +32,49 @@ import jax
 _ENABLED = os.environ.get("SPARTAN_TPU_AOT", "1") == "1"
 _MEM: dict = {}
 _LOCK = threading.Lock()
-_pkg_hash = None
 _cache_dir = None
 
 
-def _package_hash() -> str:
-    """Hash of every .py in the package — any edit invalidates the cache."""
-    global _pkg_hash
-    if _pkg_hash is None:
-        import spartan_tpu
+_dep_hash: dict = {}
 
-        root = os.path.dirname(spartan_tpu.__file__)
-        h = hashlib.sha256()
-        for dirpath, _dirs, files in sorted(os.walk(root)):
-            for f in sorted(files):
-                if f.endswith(".py"):
-                    p = os.path.join(dirpath, f)
-                    h.update(p.encode())
-                    with open(p, "rb") as fh:
-                        h.update(fh.read())
-        h.update(jax.__version__.encode())
-        _pkg_hash = h.hexdigest()[:16]
-    return _pkg_hash
+
+def _deps_hash(module: str) -> str:
+    """Hash of the kernel's dependency closure, not the whole package.
+
+    An aot_jit kernel's traced computation is determined by its defining
+    module plus the algebra layer it closes over — everything under
+    spartan_tpu/ops/ (field/curve/limb kernels, the device transcript) —
+    plus the jax version. Keying on just that closure means edits to
+    drivers, io, tests, or docs do NOT invalidate compiled executables
+    (the whole-package hash forced a full recompile of every kernel after
+    ANY .py edit, which at keyless scale costs ~45 min of XLA compiles).
+    New kernel modules outside core/ops that grow extra dependencies must
+    keep them inside ops/ or add them here.
+    """
+    cached = _dep_hash.get(module)
+    if cached is not None:
+        return cached
+    import importlib
+    import spartan_tpu
+
+    root = os.path.dirname(spartan_tpu.__file__)
+    files = []
+    mod = importlib.import_module(module)
+    mod_file = getattr(mod, "__file__", None)
+    if mod_file:
+        files.append(mod_file)
+    ops_dir = os.path.join(root, "ops")
+    files.extend(os.path.join(ops_dir, f)
+                 for f in sorted(os.listdir(ops_dir)) if f.endswith(".py"))
+    h = hashlib.sha256()
+    for p in files:
+        h.update(p.encode())
+        with open(p, "rb") as fh:
+            h.update(fh.read())
+    h.update(jax.__version__.encode())
+    out = h.hexdigest()[:16]
+    _dep_hash[module] = out
+    return out
 
 
 def _dir() -> str:
@@ -100,7 +121,7 @@ def aot_jit(fn=None, *, static_argnames=()):
         statics = {k: v for k, v in bound.arguments.items() if k in static_set}
         dyn = [v for k, v in bound.arguments.items() if k not in static_set]
         key_src = "|".join([
-            fn.__module__, fn.__qualname__, _package_hash(),
+            fn.__module__, fn.__qualname__, _deps_hash(fn.__module__),
             repr(sorted(statics.items())), _shape_sig(dyn)])
         key = hashlib.sha256(key_src.encode()).hexdigest()[:24]
         with _LOCK:

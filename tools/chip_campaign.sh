@@ -32,8 +32,15 @@ timeout 7200 python -m spartan_tpu.io.keyless_bench --synthetic 20 --json \
   > bench_e2e_20.json 2>> "$LOG"
 echo "--- e2e 20 warm rc=$? $(date -u +%T)" >> "$LOG"
 
-SPARTAN_BENCH_ROWS=2048 SPARTAN_BENCH_SWEEP=18,20,22 \
-  timeout 2400 python bench.py >> "$LOG" 2>&1
+timeout 4800 python -m spartan_tpu.io.keyless_bench --synthetic 16 --pcs kzg --json \
+  > bench_e2e_16_kzg_cold.json 2>> "$LOG"
+echo "--- e2e 16 kzg cold rc=$? $(date -u +%T)" >> "$LOG"
+timeout 2400 python -m spartan_tpu.io.keyless_bench --synthetic 16 --pcs kzg --json \
+  > bench_e2e_16_kzg.json 2>> "$LOG"
+echo "--- e2e 16 kzg warm rc=$? $(date -u +%T)" >> "$LOG"
+
+SPARTAN_BENCH_ROWS=2048 SPARTAN_BENCH_SWEEP=18,20,22,24 \
+  timeout 4800 python bench.py >> "$LOG" 2>&1
 echo "--- bench rc=$? $(date -u +%T)" >> "$LOG"
 
 timeout 2400 python tools/sol_report.py --out docs/SPEED_OF_LIGHT.md >> "$LOG" 2>&1
