@@ -40,7 +40,16 @@ def from_strided(x):
 
 
 def psum_field(x_canon):
-    """Exact field psum: canonical 16-bit limbs -> integer psum -> normalize."""
+    """Exact field psum: canonical 16-bit limbs -> integer psum -> normalize.
+
+    Works on any [..., 16] batch. Callers that have SEVERAL partial sums
+    stack them and make ONE call: every psum/all-gather is a separate
+    device rendezvous, and on the 8-virtual-device CPU dryrun host a
+    rendezvous intermittently stalls 120 s+ when one starved thread
+    arrives late (1-core box) — the batched layered evals used to issue
+    3*I of them per round. On real hardware the stacked form is also one
+    ICI launch instead of 3*I.
+    """
     s = jax.lax.psum(x_canon, SHARD_AXIS)  # columns < D * 2^16 < 2^32
     return fr.normalize_columns(s)
 
@@ -84,7 +93,8 @@ def make_cubic_evals(mesh):
 
     def local(T, A, B, C):
         e0, e2, e3 = _local_cubic_additive(T[0], A[0], B[0], C[0])
-        return psum_field(e0), psum_field(e2), psum_field(e3)
+        st = psum_field(jnp.stack([e0, e2, e3]))
+        return st[0], st[1], st[2]
 
     sharded = P(SHARD_AXIS, None, None)
     return shard_map(
@@ -103,9 +113,10 @@ def make_quad_evals(mesh):
         bL, bH = _halves(B[0])
         a2, _ = _extrapolate(aL, aH)
         b2, _ = _extrapolate(bL, bH)
-        e0 = psum_field(fr.reduce_sum(fr.mul(aL, bL), axis=0))
-        e2 = psum_field(fr.reduce_sum(fr.mul(a2, b2), axis=0))
-        return e0, e2
+        st = psum_field(jnp.stack([
+            fr.reduce_sum(fr.mul(aL, bL), axis=0),
+            fr.reduce_sum(fr.mul(a2, b2), axis=0)]))
+        return st[0], st[1]
 
     sharded = P(SHARD_AXIS, None, None)
     return shard_map(
@@ -146,8 +157,8 @@ def make_cubic_step(mesh):
         Bn = _local_fold(B, r)
         Cn = _local_fold(C, r)
         e0, e2, e3 = _local_cubic_additive(Tn, An, Bn, Cn)
-        e0, e2, e3 = psum_field(e0), psum_field(e2), psum_field(e3)
-        return Tn[None], An[None], Bn[None], Cn[None], e0, e2, e3
+        st = psum_field(jnp.stack([e0, e2, e3]))
+        return Tn[None], An[None], Bn[None], Cn[None], st[0], st[1], st[2]
 
     sharded = P(SHARD_AXIS, None, None)
     return shard_map(
@@ -168,9 +179,10 @@ def make_quad_step(mesh):
         bL, bH = _halves(Bn)
         a2, _ = _extrapolate(aL, aH)
         b2, _ = _extrapolate(bL, bH)
-        e0 = psum_field(fr.reduce_sum(fr.mul(aL, bL), axis=0))
-        e2 = psum_field(fr.reduce_sum(fr.mul(a2, b2), axis=0))
-        return An[None], Bn[None], e0, e2
+        st = psum_field(jnp.stack([
+            fr.reduce_sum(fr.mul(aL, bL), axis=0),
+            fr.reduce_sum(fr.mul(a2, b2), axis=0)]))
+        return An[None], Bn[None], st[0], st[1]
 
     sharded = P(SHARD_AXIS, None, None)
     return shard_map(
@@ -238,13 +250,14 @@ def _local_cubic_prod(A, B, C):
 
 
 def _batched_evals_local(TA, TB, TC, Cp, nP):
-    """Per-instance (e0,e2,e3) stacked [3I, 16] in transcript order."""
+    """Per-instance (e0,e2,e3) stacked [3I, 16] in transcript order.
+
+    One stacked psum for the whole batch (3*I rendezvous -> 1)."""
     outs = []
     for k in range(len(TA)):
         Ck = Cp if k < nP else TC[k - nP]
-        for e in _local_cubic_prod(TA[k], TB[k], Ck):
-            outs.append(psum_field(e))
-    return jnp.stack(outs, axis=0)
+        outs.extend(_local_cubic_prod(TA[k], TB[k], Ck))
+    return psum_field(jnp.stack(outs, axis=0))
 
 
 def make_batched_evals(mesh, nP: int):
@@ -325,7 +338,8 @@ def make_cubic_round(mesh):
     def local(T, A, B, C, r):
         T, A, B, C = T[0], A[0], B[0], C[0]
         e0, e2, e3 = _local_cubic_additive(T, A, B, C)
-        e0, e2, e3 = psum_field(e0), psum_field(e2), psum_field(e3)
+        st = psum_field(jnp.stack([e0, e2, e3]))
+        e0, e2, e3 = st[0], st[1], st[2]
         Tn = _local_fold(T, r)
         An = _local_fold(A, r)
         Bn = _local_fold(B, r)
