@@ -93,16 +93,21 @@ def make_cubic_evals(mesh):
 
     def local(T, A, B, C):
         e0, e2, e3 = _local_cubic_additive(T[0], A[0], B[0], C[0])
-        st = psum_field(jnp.stack([e0, e2, e3]))
-        return st[0], st[1], st[2]
+        return psum_field(jnp.stack([e0, e2, e3]))[None]
 
     sharded = P(SHARD_AXIS, None, None)
-    return shard_map(
+    fn = shard_map(
         local, mesh=mesh,
         in_specs=(sharded, sharded, sharded, sharded),
-        out_specs=(P(None), P(None), P(None)),
+        out_specs=sharded,
         check_vma=False,
     )
+
+    def evals(T, A, B, C):
+        st = fn(T, A, B, C)[0]  # post-psum value; every shard identical
+        return st[0], st[1], st[2]
+
+    return evals
 
 
 def make_quad_evals(mesh):
@@ -113,18 +118,23 @@ def make_quad_evals(mesh):
         bL, bH = _halves(B[0])
         a2, _ = _extrapolate(aL, aH)
         b2, _ = _extrapolate(bL, bH)
-        st = psum_field(jnp.stack([
+        return psum_field(jnp.stack([
             fr.reduce_sum(fr.mul(aL, bL), axis=0),
-            fr.reduce_sum(fr.mul(a2, b2), axis=0)]))
-        return st[0], st[1]
+            fr.reduce_sum(fr.mul(a2, b2), axis=0)]))[None]
 
     sharded = P(SHARD_AXIS, None, None)
-    return shard_map(
+    fn = shard_map(
         local, mesh=mesh,
         in_specs=(sharded, sharded),
-        out_specs=(P(None), P(None)),
+        out_specs=sharded,
         check_vma=False,
     )
+
+    def evals(A, B):
+        st = fn(A, B)[0]
+        return st[0], st[1]
+
+    return evals
 
 
 def make_fold(mesh):
@@ -158,15 +168,22 @@ def make_cubic_step(mesh):
         Cn = _local_fold(C, r)
         e0, e2, e3 = _local_cubic_additive(Tn, An, Bn, Cn)
         st = psum_field(jnp.stack([e0, e2, e3]))
-        return Tn[None], An[None], Bn[None], Cn[None], st[0], st[1], st[2]
+        return Tn[None], An[None], Bn[None], Cn[None], st[None]
 
     sharded = P(SHARD_AXIS, None, None)
-    return shard_map(
+    fn = shard_map(
         local, mesh=mesh,
         in_specs=(sharded, sharded, sharded, sharded, P(None)),
-        out_specs=(sharded, sharded, sharded, sharded, P(None), P(None), P(None)),
+        out_specs=(sharded, sharded, sharded, sharded, sharded),
         check_vma=False,
     )
+
+    def step(T, A, B, C, r):
+        T, A, B, C, st = fn(T, A, B, C, r)
+        st = st[0]
+        return T, A, B, C, st[0], st[1], st[2]
+
+    return step
 
 
 def make_quad_step(mesh):
@@ -182,15 +199,22 @@ def make_quad_step(mesh):
         st = psum_field(jnp.stack([
             fr.reduce_sum(fr.mul(aL, bL), axis=0),
             fr.reduce_sum(fr.mul(a2, b2), axis=0)]))
-        return An[None], Bn[None], st[0], st[1]
+        return An[None], Bn[None], st[None]
 
     sharded = P(SHARD_AXIS, None, None)
-    return shard_map(
+    fn = shard_map(
         local, mesh=mesh,
         in_specs=(sharded, sharded, P(None)),
-        out_specs=(sharded, sharded, P(None), P(None)),
+        out_specs=(sharded, sharded, sharded),
         check_vma=False,
     )
+
+    def step(A, B, r):
+        A, B, st = fn(A, B, r)
+        st = st[0]
+        return A, B, st[0], st[1]
+
+    return step
 
 
 def make_tree_level(mesh):
@@ -224,15 +248,15 @@ def bound_sharded(mesh, Z, L_dev, L_size: int, R_size: int):
 
     def local(m, l):
         part = fr.reduce_sum(fr.mul(l[:, None, :], m), axis=0)
-        return psum_field(part)
+        return psum_field(part)[None]
 
     fn = shard_map(
         local, mesh=mesh,
         in_specs=(P(SHARD_AXIS, None, None), P(SHARD_AXIS, None)),
-        out_specs=P(None, None),
+        out_specs=P(SHARD_AXIS, None, None),
         check_vma=False,
     )
-    return jax.jit(fn)(M, L_dev)
+    return jax.jit(lambda m, l: fn(m, l)[0])(M, L_dev)
 
 
 def _local_cubic_prod(A, B, C):
@@ -272,15 +296,20 @@ def make_batched_evals(mesh, nP: int):
     def local(TA, TB, TC, Cp):
         return _batched_evals_local(
             [t[0] for t in TA], [t[0] for t in TB],
-            [t[0] for t in TC], Cp[0], nP)
+            [t[0] for t in TC], Cp[0], nP)[None]
 
     sharded = P(SHARD_AXIS, None, None)
-    return shard_map(
+    fn = shard_map(
         local, mesh=mesh,
         in_specs=(sharded, sharded, sharded, sharded),
-        out_specs=P(None),
+        out_specs=sharded,
         check_vma=False,
     )
+
+    def evals(TA, TB, TC, Cp):
+        return fn(TA, TB, TC, Cp)[0]  # post-psum; every shard identical
+
+    return evals
 
 
 def make_batched_step(mesh, nP: int):
@@ -297,15 +326,21 @@ def make_batched_step(mesh, nP: int):
         Cp = _local_fold(Cp[0], r)
         ev = _batched_evals_local(TA, TB, TC, Cp, nP)
         return ([t[None] for t in TA], [t[None] for t in TB],
-                [t[None] for t in TC], Cp[None], ev)
+                [t[None] for t in TC], Cp[None], ev[None])
 
     sharded = P(SHARD_AXIS, None, None)
-    return shard_map(
+    fn = shard_map(
         local, mesh=mesh,
         in_specs=(sharded, sharded, sharded, sharded, P(None)),
-        out_specs=(sharded, sharded, sharded, sharded, P(None)),
+        out_specs=(sharded, sharded, sharded, sharded, sharded),
         check_vma=False,
     )
+
+    def step(TA, TB, TC, Cp, r):
+        TA, TB, TC, Cp, ev = fn(TA, TB, TC, Cp, r)
+        return TA, TB, TC, Cp, ev[0]
+
+    return step
 
 
 def make_batched_fold(mesh):
@@ -339,17 +374,23 @@ def make_cubic_round(mesh):
         T, A, B, C = T[0], A[0], B[0], C[0]
         e0, e2, e3 = _local_cubic_additive(T, A, B, C)
         st = psum_field(jnp.stack([e0, e2, e3]))
-        e0, e2, e3 = st[0], st[1], st[2]
         Tn = _local_fold(T, r)
         An = _local_fold(A, r)
         Bn = _local_fold(B, r)
         Cn = _local_fold(C, r)
-        return e0, e2, e3, Tn[None], An[None], Bn[None], Cn[None]
+        return st[None], Tn[None], An[None], Bn[None], Cn[None]
 
     sharded = P(SHARD_AXIS, None, None)
-    return shard_map(
+    fn = shard_map(
         local, mesh=mesh,
         in_specs=(sharded, sharded, sharded, sharded, P(None)),
-        out_specs=(P(None), P(None), P(None), sharded, sharded, sharded, sharded),
+        out_specs=(sharded, sharded, sharded, sharded, sharded),
         check_vma=False,
     )
+
+    def round_fn(T, A, B, C, r):
+        st, Tn, An, Bn, Cn = fn(T, A, B, C, r)
+        st = st[0]
+        return st[0], st[1], st[2], Tn, An, Bn, Cn
+
+    return round_fn
