@@ -110,10 +110,9 @@ class ProductCircuit:
                 self._cp[i] = (tl[:half], tl[half: 2 * half])
 
     def _gather(self, t):
-        from spartan_tpu.parallel.mesh import gather_table
-        from spartan_tpu.parallel.sumcheck_sharded import from_strided
+        from spartan_tpu.parallel.mesh import gather_unstride
 
-        return from_strided(gather_table(self._mesh, t))
+        return gather_unstride(self._mesh, t)
 
     def _walk(self, Z):
         """Yield (is_sharded, full layer table) for every layer, bottom-up.

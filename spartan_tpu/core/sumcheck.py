@@ -611,15 +611,14 @@ class _MeshTables:
             p.num_vars = log_2(self.n)
 
     def fold(self, r_dev) -> None:
-        from spartan_tpu.parallel.mesh import gather_table
-        from spartan_tpu.parallel.sumcheck_sharded import from_strided
+        from spartan_tpu.parallel.mesh import gather_unstride
 
         self.sharded = [self._fold(t, r_dev) for t in self.sharded]
         self._shrink()
         if self.n < 2 * self.D or self.n <= HP.HOST_N or self.n < HP.MESH_MIN_N:
             # gather to every process; callers continue with local kernels
             for p, t in zip(self.polys, self.sharded):
-                p.Z = from_strided(gather_table(self.mesh, t))
+                p.Z = gather_unstride(self.mesh, t)
             self.sharded = None
 
 
@@ -672,14 +671,13 @@ class _BatchedMeshTables:
 
     def fold_gather(self, r_dev):
         """Fold once more, then return natural-order every-process tables."""
-        from spartan_tpu.parallel.mesh import gather_table
-        from spartan_tpu.parallel.sumcheck_sharded import from_strided
+        from spartan_tpu.parallel.mesh import gather_unstride
 
         TA, TB, TC, Cp = self._fold(self.TA, self.TB, self.TC, self.Cp, r_dev)
         self.n //= 2
 
         def g(t):
-            return from_strided(gather_table(self.mesh, t))
+            return gather_unstride(self.mesh, t)
 
         return ([g(t) for t in TA], [g(t) for t in TB],
                 [g(t) for t in TC], g(Cp))

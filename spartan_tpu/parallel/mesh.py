@@ -125,3 +125,24 @@ def gather_table(mesh: Mesh, x):
         out_sh = NamedSharding(mesh, P(*([None] * x.ndim)))
         return jax.jit(lambda a: a, out_shardings=out_sh)(x)
     return x
+
+
+def gather_unstride(mesh: Mesh, x):
+    """[D, m, 16] strided-sharded table -> natural-order [D*m, 16] array.
+
+    Single-process this goes THROUGH THE HOST: pulling addressable shards
+    is a plain device->host copy per shard, whereas the jnp
+    reshape/swapaxes form reshards across the mesh axis — XLA lowers that
+    to an all-gather whose 8-thread rendezvous intermittently stalls
+    120 s+ on a starved 1-core CPU host (the dryrun flake). Values are
+    identical either way. Multi-process keeps the compiled collective
+    path (shards aren't host-addressable there).
+    """
+    if jax.process_count() > 1:
+        from spartan_tpu.parallel.sumcheck_sharded import from_strided
+
+        return from_strided(gather_table(mesh, x))
+    xh = np.asarray(x)
+    d, m = xh.shape[0], xh.shape[1]
+    nat = np.ascontiguousarray(xh.transpose(1, 0, 2)).reshape(d * m, xh.shape[-1])
+    return jnp.asarray(nat)
