@@ -44,6 +44,9 @@ if os.environ.get("SPARTAN_TPU_NO_COMPILE_CACHE") != "1":
             "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
         _sys.modules["jax"].config.update(
             "jax_persistent_cache_min_compile_time_secs", 0)
+        # keep checkout paths out of cache keys (GPU-only autotune dir)
+        _sys.modules["jax"].config.update(
+            "jax_persistent_cache_enable_xla_caches", "")
 
 # Platform override that actually sticks: this jax build ignores the
 # JAX_PLATFORMS env var once the axon TPU plugin registers, and the tunnel

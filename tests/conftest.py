@@ -69,3 +69,6 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+# keep checkout paths out of cache keys (the GPU autotune-cache path jax
+# derives from the cache dir otherwise lands in every compile_options hash)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "")
