@@ -128,6 +128,8 @@ def main() -> None:
     dt = (time.perf_counter() - t0) / REPS
 
     if SWEEP:
+        import gc
+
         for log2 in (int(x) for x in SWEEP.split(",") if x):
             m = 1 << log2
             sc = jnp.asarray(ints_to_limbs(_rand_scalars(rng, m)))
@@ -139,6 +141,11 @@ def main() -> None:
             d = time.perf_counter() - t1
             print(f"# sweep 2^{log2}: {m/d:.0f} points/s ({d:.2f} s)",
                   file=sys.stderr)
+            # free before the next (larger) size: at 2^24 the points +
+            # digits + gathered prefix streams approach the 16 GB HBM,
+            # and a live previous-size set tips it into RESOURCE_EXHAUSTED
+            del sc, p
+            gc.collect()
 
     if ROWS:
         from spartan_tpu.core.commitments import MultiCommitGens, commit_rows

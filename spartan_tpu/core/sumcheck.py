@@ -46,6 +46,23 @@ def _halves(T):
     return T[..., :n, :], T[..., n:, :]
 
 
+def _pallas_rounds_ok(n: int) -> bool:
+    """Use the fused Pallas round-step kernels (ops/pallas_sumcheck)?
+
+    TPU only — the XLA composition below stays the reference semantics
+    and the CPU test path. Static at trace time (n is a shape)."""
+    if os.environ.get("SPARTAN_TPU_FUSED_ROUND", "1") != "1":
+        return False
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+    except RuntimeError:
+        return False
+    from spartan_tpu.ops import pallas_sumcheck as PS
+
+    return n >= PS.MIN_N
+
+
 def _extrapolate(lo, hi):
     """Table values at points 2 and 3: 2*hi - lo and 3*hi - 2*lo."""
     p2 = fr.sub(fr.add(hi, hi), lo)
@@ -56,6 +73,11 @@ def _extrapolate(lo, hi):
 @aot_jit
 def k_cubic_prod_evals(A, B, C):
     """Round evals (e0,e2,e3) of sum A*B*C; tables [..., N, 16] batched."""
+    if A.ndim == 2 and _pallas_rounds_ok(A.shape[0]):
+        from spartan_tpu.ops import pallas_sumcheck as PS
+
+        ev = PS.evals_cubic_prod(A, B, C)
+        return ev[0], ev[1], ev[2]
     aL, aH = _halves(A)
     bL, bH = _halves(B)
     cL, cH = _halves(C)
@@ -71,6 +93,11 @@ def k_cubic_prod_evals(A, B, C):
 @aot_jit
 def k_cubic_additive_evals(T, A, B, C):
     """Round evals of sum tau * (Az*Bz - Cz) (sumcheck.rs:465-530)."""
+    if T.ndim == 2 and _pallas_rounds_ok(T.shape[0]):
+        from spartan_tpu.ops import pallas_sumcheck as PS
+
+        ev = PS.evals_cubic_additive(T, A, B, C)
+        return ev[0], ev[1], ev[2]
     tL, tH = _halves(T)
     aL, aH = _halves(A)
     bL, bH = _halves(B)
@@ -92,6 +119,11 @@ def k_cubic_additive_evals(T, A, B, C):
 @aot_jit
 def k_quad_evals(A, B):
     """Round evals (e0, e2) of sum A*B (sumcheck.rs:684-699)."""
+    if A.ndim == 2 and _pallas_rounds_ok(A.shape[0]):
+        from spartan_tpu.ops import pallas_sumcheck as PS
+
+        ev = PS.evals_quad(A, B)
+        return ev[0], ev[1]
     aL, aH = _halves(A)
     bL, bH = _halves(B)
     a2 = fr.sub(fr.add(aH, aH), aL)
@@ -141,6 +173,12 @@ def _cubic_eval_triple(A, B, C):
 
 def _batched_cubic_evals(TA, TB, TC, Cp, nP):
     """Per-instance eval triples, stacked [3I, 16] in transcript order."""
+    if _pallas_rounds_ok(TA[0].shape[0]):
+        from spartan_tpu.ops import pallas_sumcheck as PS
+
+        return jnp.concatenate(
+            [PS.evals_cubic_prod(TA[k], TB[k], Cp if k < nP else TC[k - nP])
+             for k in range(len(TA))], axis=0)
     outs = []
     for k in range(len(TA)):
         Ck = Cp if k < nP else TC[k - nP]
@@ -180,6 +218,10 @@ def _evals_cubic_perinstance(TA, TB, TC, Cp, nP):
 @aot_jit
 def k_step_cubic_shared(A, B, Cf, r):
     """Fold A,B by r; eval triple against an ALREADY-folded shared C."""
+    if _pallas_rounds_ok(A.shape[0]):
+        from spartan_tpu.ops import pallas_sumcheck as PS
+
+        return PS.step_cubic_prod_sharedC(A, B, Cf, r)
     A, B = _fold(A, r), _fold(B, r)
     e0, e2, e3 = _cubic_eval_triple(A, B, Cf)
     return A, B, jnp.stack([e0, e2, e3], axis=0)
@@ -188,6 +230,10 @@ def k_step_cubic_shared(A, B, Cf, r):
 @aot_jit
 def k_step_cubic_one(A, B, C, r):
     """Fold one (A, B, C) instance by r and eval its next-round triple."""
+    if _pallas_rounds_ok(A.shape[0]):
+        from spartan_tpu.ops import pallas_sumcheck as PS
+
+        return PS.step_cubic_prod(A, B, C, r)
     A, B, C = _fold(A, r), _fold(B, r), _fold(C, r)
     e0, e2, e3 = _cubic_eval_triple(A, B, C)
     return A, B, C, jnp.stack([e0, e2, e3], axis=0)
@@ -212,6 +258,21 @@ def _step_cubic_perinstance(TA, TB, TC, Cp, r, nP):
 @aot_jit(static_argnames=("nP",))
 def k_step_cubic_batched(TA, TB, TC, Cp, r, nP: int):
     """Fold all tables by r, then next-round evals — one dispatch."""
+    if _pallas_rounds_ok(TA[0].shape[0]):
+        from spartan_tpu.ops import pallas_sumcheck as PS
+
+        Cp2 = _fold(Cp, r)
+        TA2, TB2, TC2, outs = [], [], [], []
+        for k in range(len(TA)):
+            if k < nP:
+                a, b, ev = PS.step_cubic_prod_sharedC(TA[k], TB[k], Cp2, r)
+            else:
+                a, b, c, ev = PS.step_cubic_prod(TA[k], TB[k], TC[k - nP], r)
+                TC2.append(c)
+            TA2.append(a)
+            TB2.append(b)
+            outs.append(ev)
+        return TA2, TB2, TC2, Cp2, jnp.concatenate(outs, axis=0)
     TA = [_fold(t, r) for t in TA]
     TB = [_fold(t, r) for t in TB]
     TC = [_fold(t, r) for t in TC]
@@ -247,11 +308,19 @@ def _additive_eval_triple(T, A, B, C):
 
 @aot_jit
 def k_cubic_additive_stack(T, A, B, C):
+    if _pallas_rounds_ok(T.shape[0]):
+        from spartan_tpu.ops import pallas_sumcheck as PS
+
+        return PS.evals_cubic_additive(T, A, B, C)
     return _additive_eval_triple(T, A, B, C)
 
 
 @aot_jit
 def k_step_cubic_additive(T, A, B, C, r):
+    if _pallas_rounds_ok(T.shape[0]):
+        from spartan_tpu.ops import pallas_sumcheck as PS
+
+        return PS.step_cubic_additive(T, A, B, C, r)
     T, A, B, C = _fold(T, r), _fold(A, r), _fold(B, r), _fold(C, r)
     return T, A, B, C, _additive_eval_triple(T, A, B, C)
 
@@ -273,11 +342,19 @@ def _quad_eval_pair(A, B):
 
 @aot_jit
 def k_quad_stack(A, B):
+    if _pallas_rounds_ok(A.shape[0]):
+        from spartan_tpu.ops import pallas_sumcheck as PS
+
+        return PS.evals_quad(A, B)
     return _quad_eval_pair(A, B)
 
 
 @aot_jit
 def k_step_quad(A, B, r):
+    if _pallas_rounds_ok(A.shape[0]):
+        from spartan_tpu.ops import pallas_sumcheck as PS
+
+        return PS.step_quad(A, B, r)
     A, B = _fold(A, r), _fold(B, r)
     return A, B, _quad_eval_pair(A, B)
 
