@@ -283,7 +283,14 @@ def _pad2(x, h_pad: int):
 
 
 def _unfold(y, half: int):
-    """[2, h_pad, 16] -> [2*half, 16] natural folded table."""
+    """[2, h_pad, 16] -> [2*half, 16] natural folded table.
+
+    Unpadded (the big power-of-two layers) this is a pure reshape — no
+    copy, which matters at keyless scale: an extra materialized copy of
+    every folded table per round tipped the 16 GB chip into
+    RESOURCE_EXHAUSTED."""
+    if y.shape[1] == half:
+        return y.reshape(2 * half, _L)
     return y[:, :half].reshape(2 * half, _L)
 
 
