@@ -63,6 +63,20 @@ def _pallas_rounds_ok(n: int) -> bool:
     return n >= PS.MIN_N
 
 
+# The batched product-tree layers run while the chip also holds the full
+# protocol state (derefs, tree checkpoints, the comb polys) — at keyless
+# 2^20 scale the fused kernels' per-call input-layout copies on the
+# deepest layers tipped 16 GB HBM into RESOURCE_EXHAUSTED. Cap the fused
+# path for the BATCHED callers only; the ZK phases (lighter-memory part
+# of the prove) stay fused at any size.
+FUSED_BATCHED_MAX_N = int(os.environ.get(
+    "SPARTAN_TPU_FUSED_BATCH_MAX_N", str(1 << 19)))
+
+
+def _pallas_batched_ok(n: int) -> bool:
+    return _pallas_rounds_ok(n) and n <= FUSED_BATCHED_MAX_N
+
+
 def _extrapolate(lo, hi):
     """Table values at points 2 and 3: 2*hi - lo and 3*hi - 2*lo."""
     p2 = fr.sub(fr.add(hi, hi), lo)
@@ -73,7 +87,7 @@ def _extrapolate(lo, hi):
 @aot_jit
 def k_cubic_prod_evals(A, B, C):
     """Round evals (e0,e2,e3) of sum A*B*C; tables [..., N, 16] batched."""
-    if A.ndim == 2 and _pallas_rounds_ok(A.shape[0]):
+    if A.ndim == 2 and _pallas_batched_ok(A.shape[0]):
         from spartan_tpu.ops import pallas_sumcheck as PS
 
         ev = PS.evals_cubic_prod(A, B, C)
@@ -173,7 +187,7 @@ def _cubic_eval_triple(A, B, C):
 
 def _batched_cubic_evals(TA, TB, TC, Cp, nP):
     """Per-instance eval triples, stacked [3I, 16] in transcript order."""
-    if _pallas_rounds_ok(TA[0].shape[0]):
+    if _pallas_batched_ok(TA[0].shape[0]):
         from spartan_tpu.ops import pallas_sumcheck as PS
 
         return jnp.concatenate(
@@ -218,7 +232,7 @@ def _evals_cubic_perinstance(TA, TB, TC, Cp, nP):
 @aot_jit
 def k_step_cubic_shared(A, B, Cf, r):
     """Fold A,B by r; eval triple against an ALREADY-folded shared C."""
-    if _pallas_rounds_ok(A.shape[0]):
+    if _pallas_batched_ok(A.shape[0]):
         from spartan_tpu.ops import pallas_sumcheck as PS
 
         return PS.step_cubic_prod_sharedC(A, B, Cf, r)
@@ -230,7 +244,7 @@ def k_step_cubic_shared(A, B, Cf, r):
 @aot_jit
 def k_step_cubic_one(A, B, C, r):
     """Fold one (A, B, C) instance by r and eval its next-round triple."""
-    if _pallas_rounds_ok(A.shape[0]):
+    if _pallas_batched_ok(A.shape[0]):
         from spartan_tpu.ops import pallas_sumcheck as PS
 
         return PS.step_cubic_prod(A, B, C, r)
@@ -258,7 +272,7 @@ def _step_cubic_perinstance(TA, TB, TC, Cp, r, nP):
 @aot_jit(static_argnames=("nP",))
 def k_step_cubic_batched(TA, TB, TC, Cp, r, nP: int):
     """Fold all tables by r, then next-round evals — one dispatch."""
-    if _pallas_rounds_ok(TA[0].shape[0]):
+    if _pallas_batched_ok(TA[0].shape[0]):
         from spartan_tpu.ops import pallas_sumcheck as PS
 
         Cp2 = _fold(Cp, r)
