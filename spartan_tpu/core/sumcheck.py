@@ -60,21 +60,19 @@ def _pallas_rounds_ok(n: int) -> bool:
         return False
     from spartan_tpu.ops import pallas_sumcheck as PS
 
-    return n >= PS.MIN_N
+    return PS.MIN_N <= n <= FUSED_ROUND_MAX_N
 
 
-# The batched product-tree layers run while the chip also holds the full
-# protocol state (derefs, tree checkpoints, the comb polys) — at keyless
-# 2^20 scale the fused kernels' per-call input-layout copies on the
-# deepest layers tipped 16 GB HBM into RESOURCE_EXHAUSTED. Cap the fused
-# path for the BATCHED callers only; the ZK phases (lighter-memory part
-# of the prove) stay fused at any size.
-FUSED_BATCHED_MAX_N = int(os.environ.get(
-    "SPARTAN_TPU_FUSED_BATCH_MAX_N", str(1 << 19)))
-
-
-def _pallas_batched_ok(n: int) -> bool:
-    return _pallas_rounds_ok(n) and n <= FUSED_BATCHED_MAX_N
+# At keyless 2^20 scale the chip runs within ~1-2 GB of its 16 GB HBM;
+# the fused kernels' extra per-call buffers (input-layout copies for the
+# pallas operands + unpadded out blocks) repeatedly tipped the leaf-layer
+# rounds into RESOURCE_EXHAUSTED even when only the ZK phases used them.
+# Until the kernels get donation/aliasing, they engage only below this
+# table length (raise via env to re-test): small/mid scales keep the
+# fused win, the flagship 2^20 path runs the proven per-op composition.
+FUSED_ROUND_MAX_N = int(os.environ.get(
+    "SPARTAN_TPU_FUSED_ROUND_MAX_N", str(1 << 19)))
+_pallas_batched_ok = _pallas_rounds_ok
 
 
 def _extrapolate(lo, hi):
