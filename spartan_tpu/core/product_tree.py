@@ -12,6 +12,7 @@ Transcript labels and claim orders match the reference byte-for-byte.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import jax
@@ -76,7 +77,14 @@ class ProductCircuit:
     exactly once, top-down, so recomputation adds O(N log N)/tree total.
     """
 
-    CHECKPOINT_MAX = 1 << 16
+    # Layers at/below this size are checkpointed; larger ones are
+    # recomputed from fresh leaves on demand (one ~2N multiply walk per
+    # request). 2^19 keeps the per-tree checkpoint store ~2x leaf size
+    # (~1 GB across all keyless-scale trees — affordable once the LM
+    # kernels removed the 8x padded operand copies) while only the top
+    # 1-2 layers of a 2^21-leaf tree ever re-walk.
+    CHECKPOINT_MAX = int(os.environ.get(
+        "SPARTAN_TPU_TREE_CP_MAX", str(1 << 19)))
 
     def __init__(self, poly: DensePolynomial | None = None, *, leaf_fn=None,
                  checkpoint_max: int | None = None, mesh=None):

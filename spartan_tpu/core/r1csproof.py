@@ -103,21 +103,26 @@ class R1CSProof:
         timer_commit.stop()
 
         timer_sc1 = Timer("prove_sc_phase_one")
-        z = inst.build_z(vars_, input_)
+        with Timer("sc1_build_z"):
+            z = inst.build_z(vars_, input_)
         num_rounds_x = log_2(inst.num_cons)
         num_rounds_y = log_2(len(z))
         tau = transcript.challenge_vector(b"challenge_tau", num_rounds_x)
 
-        poly_tau = DensePolynomial(EqPolynomial(tau).evals_device())
-        poly_Az, poly_Bz, poly_Cz = inst.multiply_vec(inst.num_cons, len(z), z)
+        with Timer("sc1_tau_eq_table"):
+            poly_tau = DensePolynomial(EqPolynomial(tau).evals_device())
+        with Timer("sc1_spmv_AzBzCz"):
+            poly_Az, poly_Bz, poly_Cz = inst.multiply_vec(
+                inst.num_cons, len(z), z)
 
         # PHASE 1: ZK cubic sumcheck of sum_x tau(x) * (Az(x)Bz(x) - Cz(x))
-        (sc_proof_phase1, rx, claims_phase1, blind_claim_postsc1) = \
-            ZKSumcheckInstanceProof.prove_cubic_with_additive_term(
-                0, 0, num_rounds_x, poly_tau, poly_Az, poly_Bz, poly_Cz,
-                gens.gens_sc.gens_1, gens.gens_sc.gens_4, transcript, random_tape,
-                mesh=mesh,
-            )
+        with Timer("sc1_zk_sumcheck"):
+            (sc_proof_phase1, rx, claims_phase1, blind_claim_postsc1) = \
+                ZKSumcheckInstanceProof.prove_cubic_with_additive_term(
+                    0, 0, num_rounds_x, poly_tau, poly_Az, poly_Bz, poly_Cz,
+                    gens.gens_sc.gens_1, gens.gens_sc.gens_4, transcript,
+                    random_tape, mesh=mesh,
+                )
         tau_claim, Az_claim, Bz_claim, Cz_claim = claims_phase1
         timer_sc1.stop()
 
@@ -156,13 +161,17 @@ class R1CSProof:
         claim_phase2 = (r_A * Az_claim + r_B * Bz_claim + r_C * Cz_claim) % FR_MOD
         blind_claim_phase2 = (r_A * Az_blind + r_B * Bz_blind + r_C * Cz_blind) % FR_MOD
 
-        evals_rx = EqPolynomial(rx).evals_device()
-        evals_A, evals_B, evals_C = inst.compute_eval_table_sparse_device(evals_rx, len(z))
-        evals_ABC = k_rlc3(evals_A, evals_B, evals_C,
-                           mle.encode_scalar(r_A), mle.encode_scalar(r_B), mle.encode_scalar(r_C))
+        with Timer("sc2_eval_tables"):
+            evals_rx = EqPolynomial(rx).evals_device()
+            evals_A, evals_B, evals_C = inst.compute_eval_table_sparse_device(
+                evals_rx, len(z))
+            evals_ABC = k_rlc3(evals_A, evals_B, evals_C,
+                               mle.encode_scalar(r_A), mle.encode_scalar(r_B),
+                               mle.encode_scalar(r_C))
 
         timer_sc2 = Timer("prove_sc_phase_two")
-        poly_z = DensePolynomial.from_ints(z)
+        with Timer("sc2_encode_z"):
+            poly_z = DensePolynomial.from_ints(z)
         poly_ABC = DensePolynomial(evals_ABC)
         (sc_proof_phase2, ry, claims_phase2, blind_claim_postsc2) = \
             ZKSumcheckInstanceProof.prove_quad(

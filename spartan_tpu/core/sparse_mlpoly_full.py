@@ -545,9 +545,11 @@ class HashLayerProof:
         eval_derefs = (eval_row_ops_val, eval_col_ops_val)
 
         # all ops-sized openings share one eq table each
+        timer_opsev = Timer("ops_addr_ts_evals")
         ops_evals = batch_evaluate(
             dense.row.ops_addr + dense.row.read_ts +
             dense.col.ops_addr + dense.col.read_ts + dense.val, rand_ops)
+        timer_opsev.stop()
         k = dense.batch_size
         eval_row_addr = ops_evals[0:k]
         eval_row_read_ts = ops_evals[k:2 * k]
@@ -580,9 +582,11 @@ class HashLayerProof:
             evals_mem, transcript, b"challenge_combine_two_to_one")
         r_joint_mem = challenges_mem + list(rand_mem)
         transcript.append_scalar(b"joint_claim_eval_mem", joint_claim_eval_mem)
+        timer_mem = Timer("comb_mem_open")
         proof_mem, _ = PolyEvalProof.prove(
             dense.comb_mem, None, r_joint_mem, joint_claim_eval_mem, None,
             gens.gens_mem, transcript, random_tape, mesh=mesh)
+        timer_mem.stop()
 
         return HashLayerProof(
             eval_row=(eval_row_addr, eval_row_read_ts, eval_row_audit_ts),

@@ -63,16 +63,146 @@ def _pallas_rounds_ok(n: int) -> bool:
     return PS.MIN_N <= n <= FUSED_ROUND_MAX_N
 
 
-# At keyless 2^20 scale the chip runs within ~1-2 GB of its 16 GB HBM;
-# the fused kernels' extra per-call buffers (input-layout copies for the
-# pallas operands + unpadded out blocks) repeatedly tipped the leaf-layer
-# rounds into RESOURCE_EXHAUSTED even when only the ZK phases used them.
-# Until the kernels get donation/aliasing, they engage only below this
-# table length (raise via env to re-test): small/mid scales keep the
-# fused win, the flagship 2^20 path runs the proven per-op composition.
+# Upper gate for the fused round kernels. The quarter-layout kernels
+# were capped at 2^19: their [.., 16]-minor pallas operands forced
+# 8x-padded relayout copies that OOMed the 16 GB chip at the 2^21 leaf
+# layers. The limb-major (LM) pair kernels below keep every operand
+# compact, so the gate now covers the whole keyless-scale range.
 FUSED_ROUND_MAX_N = int(os.environ.get(
-    "SPARTAN_TPU_FUSED_ROUND_MAX_N", str(1 << 19)))
+    "SPARTAN_TPU_FUSED_ROUND_MAX_N", str(1 << 22)))
 _pallas_batched_ok = _pallas_rounds_ok
+
+
+def _lm_rounds_ok(n: int) -> bool:
+    """Use the limb-major pair kernels (ops/pallas_sumcheck lm_*)?
+
+    TPU only (SPARTAN_TPU_FORCE_LM=1 + interpret mode for CPU driver
+    tests; SPARTAN_TPU_LM=0 falls back to the quarter kernels)."""
+    if os.environ.get("SPARTAN_TPU_FUSED_ROUND", "1") != "1":
+        return False
+    if os.environ.get("SPARTAN_TPU_LM", "1") != "1":
+        return False
+    if os.environ.get("SPARTAN_TPU_FORCE_LM") != "1":
+        try:
+            if jax.default_backend() != "tpu":
+                return False
+        except RuntimeError:
+            return False
+    from spartan_tpu.ops import pallas_sumcheck as PS
+
+    return PS.MIN_N <= n <= FUSED_ROUND_MAX_N
+
+
+# -- limb-major pair-table kernels (one aot executable per shape) -----------
+
+@aot_jit
+def k_lm_prep(tables):
+    from spartan_tpu.ops import pallas_sumcheck as PS
+
+    return PS.lm_prep(list(tables))
+
+
+@aot_jit
+def k_lm_unprep(pairs):
+    from spartan_tpu.ops import pallas_sumcheck as PS
+
+    return [PS.lm_unprep(P) for P in pairs]
+
+
+@aot_jit
+def k_lm_folds_unprep(pairs, r):
+    """Fold every pair by r and hand back NATURAL tables (host/tail exit)."""
+    from spartan_tpu.ops import pallas_sumcheck as PS
+
+    return [PS.lm_unprep(P) for P in PS.lm_fold_pairs(list(pairs), r)]
+
+
+@aot_jit
+def k_lm_firsts(pairs):
+    from spartan_tpu.ops import pallas_sumcheck as PS
+
+    return jnp.stack([PS.lm_first(P) for P in pairs], axis=0)
+
+
+@aot_jit
+def k_lm_evals_additive(Pt, Pa, Pb, Pc):
+    from spartan_tpu.ops import pallas_sumcheck as PS
+
+    return PS.lm_evals_additive(Pt, Pa, Pb, Pc)
+
+
+@aot_jit
+def k_lm_step_additive(Pt, Pa, Pb, Pc, r):
+    from spartan_tpu.ops import pallas_sumcheck as PS
+
+    return PS.lm_step_additive(Pt, Pa, Pb, Pc, r)
+
+
+@aot_jit
+def k_lm_evals_quad(Pa, Pb):
+    from spartan_tpu.ops import pallas_sumcheck as PS
+
+    return PS.lm_evals_quad(Pa, Pb)
+
+
+@aot_jit
+def k_lm_step_quad(Pa, Pb, r):
+    from spartan_tpu.ops import pallas_sumcheck as PS
+
+    return PS.lm_step_quad(Pa, Pb, r)
+
+
+@aot_jit(static_argnames=("nP",))
+def k_lm_evals_cubic_batched(PA, PB, PC, PCp, nP: int):
+    """[3I, 16] eval stack over LM instance pairs (one dispatch)."""
+    from spartan_tpu.ops import pallas_sumcheck as PS
+
+    outs = []
+    for k in range(len(PA)):
+        Ck = PCp if k < nP else PC[k - nP]
+        outs.append(PS.lm_evals_prod(PA[k], PB[k], Ck))
+    return jnp.concatenate(outs, axis=0)
+
+
+@aot_jit(static_argnames=("nP",))
+def k_lm_step_cubic_batched(PA, PB, PC, PCp, r, nP: int):
+    """Fold all LM tables by r, then next-round evals — one dispatch."""
+    from spartan_tpu.ops import pallas_sumcheck as PS
+
+    (PCp2,) = PS.lm_fold_pairs([PCp], r)
+    PA2, PB2, PC2, outs = [], [], [], []
+    for k in range(len(PA)):
+        if k < nP:
+            a, b, ev = PS.lm_step_prod_sharedC(PA[k], PB[k], PCp2, r)
+        else:
+            a, b, c, ev = PS.lm_step_prod(PA[k], PB[k], PC[k - nP], r)
+            PC2.append(c)
+        PA2.append(a)
+        PB2.append(b)
+        outs.append(ev)
+    return PA2, PB2, PC2, PCp2, jnp.concatenate(outs, axis=0)
+
+
+@aot_jit
+def k_lm_step_shared(Pa, Pb, PCf, r):
+    from spartan_tpu.ops import pallas_sumcheck as PS
+
+    return PS.lm_step_prod_sharedC(Pa, Pb, PCf, r)
+
+
+@aot_jit
+def k_lm_step_prod(Pa, Pb, Pc, r):
+    from spartan_tpu.ops import pallas_sumcheck as PS
+
+    return PS.lm_step_prod(Pa, Pb, Pc, r)
+
+
+@aot_jit
+def k_lm_fold_one(P, r):
+    from spartan_tpu.ops import pallas_sumcheck as PS
+
+    (out,) = PS.lm_fold_pairs([P], r)
+    return out
 
 
 def _extrapolate(lo, hi):
@@ -512,10 +642,12 @@ class SumcheckInstanceProof:
             return (SF.fused_enabled() and SF.fusible(n, 2 * I + 1 + nS)
                     and n == (1 << rounds_left))
 
+        lm = None  # (LA, LB, LC, LCp) limb-major pairs (TPU big-table path)
+        cur_n = n0
         fused_tail = None
         for j in range(num_rounds):
-            if (mesh_t is None and host is None
-                    and tail_fusible(TA[0].shape[0], num_rounds - j)):
+            if (mesh_t is None and host is None and lm is None
+                    and tail_fusible(cur_n, num_rounds - j)):
                 # remaining rounds + Fiat-Shamir as ONE device dispatch
                 fused_tail = SF.prove_cubic_batched_fused(
                     e, num_rounds - j, TA, TB, TC, Cp, nP, coeffs, transcript)
@@ -526,7 +658,7 @@ class SumcheckInstanceProof:
                 vals = F.decode_fr(pending)
                 ev0, ev2, ev3 = vals[0::3], vals[1::3], vals[2::3]
             else:
-                if host is None and TA[0].shape[0] <= HP.host_table_n():
+                if host is None and lm is None and cur_n <= HP.host_table_n():
                     dec = mle.decode_tables(TA + TB + [Cp] + TC)
                     host = (dec[:I], dec[I:2 * I], dec[2 * I],
                             dec[2 * I + 1:])
@@ -540,7 +672,19 @@ class SumcheckInstanceProof:
                             HP.cubic_prod_evals(HA[nP + k], HB[nP + k], HCs[k])
                 else:
                     if pending is None:
-                        if _cubic_tables_bytes(I, nS, TA[0].shape[0]) \
+                        if lm is None and _lm_rounds_ok(cur_n):
+                            prep = k_lm_prep(tuple(TA) + tuple(TB)
+                                             + (Cp,) + tuple(TC))
+                            lm = (prep[:I], prep[I:2 * I],
+                                  prep[2 * I + 1:], prep[2 * I])
+                            # drop our natural refs: lazily-built tree
+                            # layers free; callers keep theirs (derefs)
+                            TA = TB = TC = Cp = None
+                        if lm is not None:
+                            LA, LB, LC, LCp = lm
+                            pending = k_lm_evals_cubic_batched(
+                                LA, LB, LC, LCp, nP)
+                        elif _cubic_tables_bytes(I, nS, cur_n) \
                                 > BIG_STEP_BYTES:
                             pending = _evals_cubic_perinstance(
                                 TA, TB, TC, Cp, nP)
@@ -571,19 +715,53 @@ class SumcheckInstanceProof:
                         [HP.fold_top(t, r_j) for t in HB],
                         HP.fold_top(HCp, r_j),
                         [HP.fold_top(t, r_j) for t in HCs])
+            elif lm is not None:
+                r_dev = mle.encode_scalar(r_j)
+                LA, LB, LC, LCp = lm
+                n_next = cur_n // 2
+                if n_next <= HP.host_table_n() \
+                        or tail_fusible(n_next, num_rounds - j - 1) \
+                        or not _lm_rounds_ok(n_next):
+                    # fold + exit to natural tables: the host tail, the
+                    # fused-tail driver, or the XLA path takes over
+                    nat = k_lm_folds_unprep(
+                        tuple(LA) + tuple(LB) + (LCp,) + tuple(LC), r_dev)
+                    TA, TB = nat[:I], nat[I:2 * I]
+                    Cp, TC = nat[2 * I], nat[2 * I + 1:]
+                    lm = None
+                    pending = None
+                elif _cubic_tables_bytes(I, nS, n_next) > BIG_STEP_BYTES:
+                    # per-instance steps bound the in-flight transients
+                    LCp = k_lm_fold_one(LCp, r_dev)
+                    LA, LB, LC = list(LA), list(LB), list(LC)
+                    outs = []
+                    for k in range(I):
+                        if k < nP:
+                            LA[k], LB[k], ev = k_lm_step_shared(
+                                LA[k], LB[k], LCp, r_dev)
+                        else:
+                            LA[k], LB[k], LC[k - nP], ev = k_lm_step_prod(
+                                LA[k], LB[k], LC[k - nP], r_dev)
+                        outs.append(ev)
+                    lm = (LA, LB, LC, LCp)
+                    pending = jnp.concatenate(outs, axis=0)
+                else:
+                    LA, LB, LC, LCp, pending = k_lm_step_cubic_batched(
+                        LA, LB, LC, LCp, r_dev, nP)
+                    lm = (LA, LB, LC, LCp)
             else:
                 r_dev = mle.encode_scalar(r_j)
-                if TA[0].shape[0] // 2 <= HP.host_table_n():
+                if cur_n // 2 <= HP.host_table_n():
                     TA, TB, TC, Cp = k_folds_cubic_batched(TA, TB, TC, Cp, r_dev)
                     pending = None
-                elif _cubic_tables_bytes(I, nS, TA[0].shape[0] // 2) \
+                elif _cubic_tables_bytes(I, nS, cur_n // 2) \
                         > BIG_STEP_BYTES:
                     # big layer: per-instance fold+eval steps (transients
                     # bounded by one instance triple). Skip the fused-in
                     # eval if the NEXT round switches to the fused-tail
                     # driver anyway (the host handoff can't happen here:
                     # the elif above already took fold-only for that case).
-                    n_next = TA[0].shape[0] // 2
+                    n_next = cur_n // 2
                     if tail_fusible(n_next, num_rounds - j - 1):
                         Cp = k_fold_top(Cp, r_dev)
                         TA = [k_fold_top(t, r_dev) for t in TA]
@@ -597,6 +775,7 @@ class SumcheckInstanceProof:
                 else:
                     TA, TB, TC, Cp, pending = k_step_cubic_batched(
                         TA, TB, TC, Cp, r_dev, nP)
+            cur_n //= 2
             e = poly.evaluate(r_j)
             polys.append(poly.compress())
 
@@ -610,6 +789,13 @@ class SumcheckInstanceProof:
             finals_B = [t[0] for t in HB]
             c_par_final = HCp[0]
             finals_C = [t[0] for t in HCs]
+        elif lm is not None:
+            LA, LB, LC, LCp = lm
+            vals = F.decode_fr(k_lm_firsts(
+                tuple(LA) + tuple(LB) + (LCp,) + tuple(LC)))
+            finals_A, finals_B = vals[:I], vals[I:2 * I]
+            c_par_final = vals[2 * I]
+            finals_C = vals[2 * I + 1:]
         else:
             finals_A = F.decode_fr(jnp.stack([t[0] for t in TA], axis=0))
             finals_B = F.decode_fr(jnp.stack([t[0] for t in TB], axis=0))
@@ -872,6 +1058,8 @@ class ZKSumcheckInstanceProof:
 
         host = None  # host-int tables for the small-size tail
         pending = None  # device evals for the current round (fused step)
+        lm = None  # limb-major pair tables (TPU big-table path)
+        cur_n = poly_tau.len
         for j in range(num_rounds):
             _t = _time.perf_counter()
             if mesh_tables is not None and mesh_tables.active():
@@ -880,14 +1068,20 @@ class ZKSumcheckInstanceProof:
                     pending = jnp.stack([e0, e2, e3])
                 v = F.decode_fr(pending)
             else:
-                if host is None and poly_tau.len <= HP.host_table_n():
+                if host is None and lm is None and cur_n <= HP.host_table_n():
                     host = mle.decode_tables([p.Z for p in tables])
                 if host is not None:
                     v = HP.cubic_additive_evals(*host)
                 else:
                     if pending is None:
-                        pending = k_cubic_additive_stack(
-                            poly_tau.Z, poly_Az.Z, poly_Bz.Z, poly_Cz.Z)
+                        if lm is None and _lm_rounds_ok(cur_n):
+                            lm = k_lm_prep((poly_tau.Z, poly_Az.Z,
+                                            poly_Bz.Z, poly_Cz.Z))
+                        if lm is not None:
+                            pending = k_lm_evals_additive(*lm)
+                        else:
+                            pending = k_cubic_additive_stack(
+                                poly_tau.Z, poly_Az.Z, poly_Bz.Z, poly_Cz.Z)
                     v = F.decode_fr(pending)
             Timer.acc("zk_cubic/evals", _time.perf_counter() - _t)
             _t = _time.perf_counter()
@@ -907,9 +1101,20 @@ class ZKSumcheckInstanceProof:
                     pending = None
             elif host is not None:
                 host = [HP.fold_top(t, r_j) for t in host]
+            elif lm is not None:
+                r_dev = mle.encode_scalar(r_j)
+                if cur_n // 2 <= HP.host_table_n() or \
+                        not _lm_rounds_ok(cur_n // 2):
+                    folded = k_lm_folds_unprep(lm, r_dev)
+                    for p, z in zip(tables, folded):
+                        p.rebind(z)
+                    lm = None
+                    pending = None
+                else:
+                    *lm, pending = k_lm_step_additive(*lm, r_dev)
             else:
                 r_dev = mle.encode_scalar(r_j)
-                if poly_tau.len // 2 <= HP.host_table_n():
+                if cur_n // 2 <= HP.host_table_n():
                     folded = k_folds_cubic_additive(
                         poly_tau.Z, poly_Az.Z, poly_Bz.Z, poly_Cz.Z, r_dev)
                     pending = None
@@ -918,6 +1123,7 @@ class ZKSumcheckInstanceProof:
                         poly_tau.Z, poly_Az.Z, poly_Bz.Z, poly_Cz.Z, r_dev)
                 for p, z in zip(tables, folded):
                     p.rebind(z)
+            cur_n //= 2
             Timer.acc("zk_cubic/fold", _time.perf_counter() - _t)
 
             _t = _time.perf_counter()
@@ -973,6 +1179,8 @@ class ZKSumcheckInstanceProof:
 
         host = None
         pending = None  # device evals for the current round (fused step)
+        lm = None  # limb-major pair tables (TPU big-table path)
+        cur_n = poly_z.len
         for j in range(num_rounds):
             _t = _time.perf_counter()
             if mesh_tables is not None and mesh_tables.active():
@@ -981,13 +1189,18 @@ class ZKSumcheckInstanceProof:
                     pending = jnp.stack([e0, e2])
                 v = F.decode_fr(pending)
             else:
-                if host is None and poly_z.len <= HP.host_table_n():
+                if host is None and lm is None and cur_n <= HP.host_table_n():
                     host = mle.decode_tables([p.Z for p in tables])
                 if host is not None:
                     v = HP.quad_evals(*host)
                 else:
                     if pending is None:
-                        pending = k_quad_stack(poly_z.Z, poly_ABC.Z)
+                        if lm is None and _lm_rounds_ok(cur_n):
+                            lm = k_lm_prep((poly_z.Z, poly_ABC.Z))
+                        if lm is not None:
+                            pending = k_lm_evals_quad(*lm)
+                        else:
+                            pending = k_quad_stack(poly_z.Z, poly_ABC.Z)
                     v = F.decode_fr(pending)
             Timer.acc("zk_quad/evals", _time.perf_counter() - _t)
             _t = _time.perf_counter()
@@ -1007,15 +1220,27 @@ class ZKSumcheckInstanceProof:
                     pending = None
             elif host is not None:
                 host = [HP.fold_top(t, r_j) for t in host]
+            elif lm is not None:
+                r_dev = mle.encode_scalar(r_j)
+                if cur_n // 2 <= HP.host_table_n() or \
+                        not _lm_rounds_ok(cur_n // 2):
+                    folded = k_lm_folds_unprep(lm, r_dev)
+                    for p, z in zip(tables, folded):
+                        p.rebind(z)
+                    lm = None
+                    pending = None
+                else:
+                    *lm, pending = k_lm_step_quad(*lm, r_dev)
             else:
                 r_dev = mle.encode_scalar(r_j)
-                if poly_z.len // 2 <= HP.host_table_n():
+                if cur_n // 2 <= HP.host_table_n():
                     folded = k_folds_quad(poly_z.Z, poly_ABC.Z, r_dev)
                     pending = None
                 else:
                     *folded, pending = k_step_quad(poly_z.Z, poly_ABC.Z, r_dev)
                 for p, z in zip(tables, folded):
                     p.rebind(z)
+            cur_n //= 2
             Timer.acc("zk_quad/fold", _time.perf_counter() - _t)
 
             _t = _time.perf_counter()

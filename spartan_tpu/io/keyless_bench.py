@@ -72,8 +72,19 @@ def synthetic(log2_cons: int, num_inputs: int = 1, nnz_per_row: int = 3, seed: i
 
 
 def run(inst, vars_, inputs, max_nnz, pcs: str = "hyrax", json_out: bool = False,
-        mesh_devices: int = 0):
+        mesh_devices: int = 0, config=None):
     import jax
+
+    from spartan_tpu.config import SpartanConfig
+
+    if config is None:
+        config = SpartanConfig(pcs=pcs, mesh_devices=mesh_devices or None)
+    pcs = config.pcs
+    mesh_devices = config.mesh_devices or 0
+    if config.profile:
+        from spartan_tpu.utils.timer import Timer as _T
+
+        _T.enable()
 
     mesh = None
     if mesh_devices > 1:
@@ -91,16 +102,8 @@ def run(inst, vars_, inputs, max_nnz, pcs: str = "hyrax", json_out: bool = False
     }
 
     t0 = time.perf_counter()
-    kzg_srs = None
-    if pcs == "kzg":
-        from spartan_tpu.core.sparse_mlpoly_full import SparseMatPolyCommitmentGens  # noqa: F401
-        from spartan_tpu.pcs.kzg import KZGSrs
-        from spartan_tpu.utils.math import pow2
-
-        nv = log_2(next_power_of_two(max_nnz)) + 3  # batch 3 -> x2 padded to 8
-        kzg_srs = KZGSrs.setup_from_seed(pow2(nv) + 1, 0xDEADBEEF)
     gens = SNARKGens(shape.num_cons, shape.num_vars, shape.num_inputs,
-                     max_nnz, pcs=pcs, kzg_srs=kzg_srs)
+                     max_nnz, config=config)
     report["gens_s"] = time.perf_counter() - t0
 
     from spartan_tpu.utils.timer import Timer as _Timer

@@ -176,6 +176,18 @@ def _bucket_windows(points, digits, c: int):
     return tuple(t[0] for t in total)
 
 
+def bucket_windows(points, digits, c: int, nseg: int = 1):
+    """Kernel-dispatching bucket accumulation: the sequential Pallas
+    prefix-with-reset kernel on accelerators, the associative-scan
+    formulation on the CPU test backend. Same signature/result as
+    ``_bucket_windows`` (digits [B, N] -> projective [B])."""
+    if _use_seq_kernel():
+        from spartan_tpu.ops.msm_pallas import bucket_windows_seq
+
+        return bucket_windows_seq(points, digits, c, nseg=nseg)
+    return _bucket_windows(points, digits, c)
+
+
 @aot_jit(static_argnames=("c",))
 def _horner_windows(window_pts, c: int):
     """Combine window sums (axis 0, most-significant first) by Horner ladder."""
@@ -269,6 +281,10 @@ def msm(points, scalars, c: int | None = None):
     batch_shape = scalars.shape[:-2]
     if n <= _ladder_threshold():
         return msm_ladder(points, scalars)
+    if c is None:
+        from spartan_tpu.config import DEFAULT as _cfg
+
+        c = _cfg.msm_window  # global config override (None = auto)
     B_rows = 1
     for s in batch_shape:
         B_rows *= s

@@ -48,6 +48,11 @@ from spartan_tpu.ops.pallas_field import (
 _U32 = jnp.uint32
 _L = NUM_LIMBS
 _T = int(os.environ.get("SPARTAN_TPU_SUMCHECK_T", "256"))  # lanes per tile
+# _lane_sum's exactness needs T * (2^16 - 1) < 2^31 (signed-i32 partial
+# sums of u16 limb values); a power of two keeps tiles lane-aligned
+# (interpret-mode tests use tiny T, real TPU should use >= 128)
+assert 0 < _T <= 32768 and (_T & (_T - 1)) == 0, \
+    f"SPARTAN_TPU_SUMCHECK_T={_T}: need a power of two in (0, 32768]"
 
 _INTERPRET = os.environ.get("SPARTAN_TPU_PALLAS_INTERPRET") == "1"
 
@@ -450,3 +455,220 @@ def evals_quad(A, B):
         interpret=_INTERPRET,
     )(p_limbs, _pad2(A, h_pad), _pad2(B, h_pad))
     return _reduce_partials(ev)
+
+
+# ---------------------------------------------------------------------------
+# limb-major (LM) round kernels — the compact-layout redesign
+# ---------------------------------------------------------------------------
+#
+# The quarter-view kernels above take [.., 16]-minor operands; XLA feeds a
+# pallas custom call with default-layout copies, and a 16-wide minor dim
+# pads to the 128-lane tile — an 8x HBM blowup per operand that OOMed the
+# 16 GB chip at n=2^21 (and made the "fused" path SLOWER than the per-op
+# XLA composition at 2^18-2^19).  The LM representation fixes the layout
+# at the source, exploiting the bit-reversal identity the fused tail
+# driver already uses (core/sumcheck_fused.py):
+#
+#   * a length-n table rides as a PAIR array P [2, 16, h] (h = n/2):
+#     P[0,:,j] = T[bitrev(2j)] (the natural lo-half element of fold pair
+#     j) and P[1,:,j] = T[bitrev(2j+1)] (its hi partner).  Both the round
+#     evaluations (extrapolate lo/hi to t=2,3, multiply, lane-sum) and
+#     the fold (lo + r*(hi-lo)) are then PURE ELEMENTWISE ops on [16, T]
+#     tiles — no transposes, no quarter gathers, minor dim = positions,
+#     fully compact in HBM and VMEM.
+#   * the fold output f [16, h] is the bitrev-order folded table; the
+#     next round's pair split (f[:, 0::2], f[:, 1::2]) is one XLA
+#     strided-slice pass between kernels — the only non-elementwise step.
+#
+# HBM per fused round step: read n + write n/2 + split n/2 -> ~2.5 n/2
+# element-visits, vs ~18 per-op passes (XLA composition) or compact-size
+# x8 padded copies (quarter kernels).
+
+_SPEC_PAIR = pl.BlockSpec((2, _L, _T), lambda t: (0, 0, t),
+                          memory_space=pltpu.VMEM)
+_SPEC_FLAT = pl.BlockSpec((_L, _T), lambda t: (0, t),
+                          memory_space=pltpu.VMEM)
+_SPEC_P1 = pl.BlockSpec((_L, 1), lambda t: (0, 0), memory_space=pltpu.VMEM)
+
+
+@functools.lru_cache(maxsize=None)
+def _bitrev_np(n: int):
+    np = _import_np()
+    bits = n.bit_length() - 1
+    idx = np.arange(n)
+    rev = np.zeros(n, dtype=np.int64)
+    for b in range(bits):
+        rev |= ((idx >> b) & 1) << (bits - 1 - b)
+    return rev
+
+
+def lm_prep(tables):
+    """Natural [n, 16] tables -> list of LM pair arrays [2, 16, n/2]."""
+    n = int(tables[0].shape[0])
+    rev = _bitrev_np(n)
+    e_idx = jnp.asarray(rev[0::2])
+    o_idx = jnp.asarray(rev[1::2])
+    return [jnp.stack([t[e_idx].T, t[o_idx].T], axis=0) for t in tables]
+
+
+def lm_unprep(P):
+    """LM pair [2, 16, h] -> natural [n, 16] table."""
+    h = int(P.shape[2])
+    n = 2 * h
+    tilde = jnp.stack([P[0], P[1]], axis=2).reshape(_L, n)  # bitrev order
+    rev = jnp.asarray(_bitrev_np(n))
+    return tilde[:, rev].T
+
+
+def lm_first(P):
+    """Montgomery limbs of the natural index-0 value (bitrev(0) = 0)."""
+    return P[0, :, 0]
+
+
+def _pair_split(f):
+    """[16, h] bitrev folded table -> next round's pair [2, 16, h/2]."""
+    return jnp.stack([f[:, 0::2], f[:, 1::2]], axis=0)
+
+
+def _lm_grid(h: int):
+    h_pad = -(-h // _T) * _T
+    return h_pad, h_pad // _T
+
+
+def _pad_pair(P, h_pad: int):
+    if int(P.shape[2]) != h_pad:
+        P = jnp.concatenate(
+            [P, jnp.zeros((2, _L, h_pad - int(P.shape[2])), _U32)], axis=2)
+    return P
+
+
+def _k_lm_fold(p_ref, r_ref, *refs, nt: int, pp: int):
+    """Fold nt pair blocks by r: out[i] = E_i + r * (O_i - E_i)."""
+    p = p_ref[:]
+    r = r_ref[:]
+    pp_ = jnp.uint32(pp)
+    for i in range(nt):
+        blk = refs[i][:]
+        refs[nt + i][:] = _fold_pair(blk[0], blk[1], r, p, pp_)
+
+
+def _k_lm_evals_additive(p_ref, t_ref, a_ref, b_ref, c_ref, ev_ref, *, pp: int):
+    p = p_ref[:]
+    pp_ = jnp.uint32(pp)
+    halves = []
+    for ref in (t_ref, a_ref, b_ref, c_ref):
+        blk = ref[:]
+        lo, hi = blk[0], blk[1]
+        e2, e3 = _extrap(lo, hi, p)
+        halves.append((lo, e2, e3))
+    (tL, t2, t3), (aL, a2, a3), (bL, b2, b3), (cL, c2, c3) = halves
+
+    def comb(t, a, b, c):
+        return _mul(t, _sub_block(_mul(a, b, p, pp_), c, p), p, pp_)
+
+    ev_ref[...] = _partial3(comb(tL, aL, bL, cL), comb(t2, a2, b2, c2),
+                            comb(t3, a3, b3, c3))
+
+
+def _k_lm_evals_prod(p_ref, a_ref, b_ref, c_ref, ev_ref, *, pp: int):
+    p = p_ref[:]
+    pp_ = jnp.uint32(pp)
+    halves = []
+    for ref in (a_ref, b_ref, c_ref):
+        blk = ref[:]
+        lo, hi = blk[0], blk[1]
+        e2, e3 = _extrap(lo, hi, p)
+        halves.append((lo, e2, e3))
+    (aL, a2, a3), (bL, b2, b3), (cL, c2, c3) = halves
+    e0 = _mul(_mul(aL, bL, p, pp_), cL, p, pp_)
+    e2 = _mul(_mul(a2, b2, p, pp_), c2, p, pp_)
+    e3 = _mul(_mul(a3, b3, p, pp_), c3, p, pp_)
+    ev_ref[...] = _partial3(e0, e2, e3)
+
+
+def _k_lm_evals_quad(p_ref, a_ref, b_ref, ev_ref, *, pp: int):
+    p = p_ref[:]
+    pp_ = jnp.uint32(pp)
+    halves = []
+    for ref in (a_ref, b_ref):
+        blk = ref[:]
+        lo, hi = blk[0], blk[1]
+        e2 = _sub_block(_add_block(hi, hi, p), lo, p)
+        halves.append((lo, e2))
+    (aL, a2), (bL, b2) = halves
+    e0 = _mul(aL, bL, p, pp_)
+    e2 = _mul(a2, b2, p, pp_)
+    s = jnp.stack([_lane_sum(e0), _lane_sum(e2)], axis=0)
+    ev_ref[...] = s[None]
+
+
+def lm_fold_pairs(pairs, r):
+    """Fold every pair table by r -> list of next pairs [2, 16, h/2].
+
+    One pallas dispatch for the folds, then the XLA pair split."""
+    nt = len(pairs)
+    h = int(pairs[0].shape[2])
+    h_pad, ntiles = _lm_grid(h)
+    p_limbs, pp = _pconsts()
+    kern = functools.partial(_k_lm_fold, nt=nt, pp=pp)
+    fouts = pl.pallas_call(
+        kern,
+        grid=(ntiles,),
+        in_specs=[_SPEC_P1, _SPEC_P1] + [_SPEC_PAIR] * nt,
+        out_specs=tuple(_SPEC_FLAT for _ in range(nt)),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((_L, h_pad), _U32) for _ in range(nt)),
+        interpret=_INTERPRET,
+    )(p_limbs, r[:, None], *[_pad_pair(P, h_pad) for P in pairs])
+    return [_pair_split(f[:, :h]) for f in fouts]
+
+
+def _lm_evals_call(kernel, pairs, k_out: int):
+    h = int(pairs[0].shape[2])
+    h_pad, ntiles = _lm_grid(h)
+    p_limbs, pp = _pconsts()
+    kern = functools.partial(kernel, pp=pp)
+    ev = pl.pallas_call(
+        kern,
+        grid=(ntiles,),
+        in_specs=[_SPEC_P1] + [_SPEC_PAIR] * len(pairs),
+        out_specs=_ev_spec(k_out),
+        out_shape=jax.ShapeDtypeStruct((ntiles, k_out, _L), _U32),
+        interpret=_INTERPRET,
+    )(p_limbs, *[_pad_pair(P, h_pad) for P in pairs])
+    return _reduce_partials(ev)
+
+
+def lm_evals_additive(Pt, Pa, Pb, Pc):
+    return _lm_evals_call(_k_lm_evals_additive, [Pt, Pa, Pb, Pc], 3)
+
+
+def lm_evals_prod(Pa, Pb, Pc):
+    return _lm_evals_call(_k_lm_evals_prod, [Pa, Pb, Pc], 3)
+
+
+def lm_evals_quad(Pa, Pb):
+    return _lm_evals_call(_k_lm_evals_quad, [Pa, Pb], 2)
+
+
+def lm_step_additive(Pt, Pa, Pb, Pc, r):
+    """Fold all 4 pairs by r, then next-round eval triple — one dispatch
+    group (fold pallas + XLA splits + evals pallas)."""
+    Pt, Pa, Pb, Pc = lm_fold_pairs([Pt, Pa, Pb, Pc], r)
+    return Pt, Pa, Pb, Pc, lm_evals_additive(Pt, Pa, Pb, Pc)
+
+
+def lm_step_prod(Pa, Pb, Pc, r):
+    Pa, Pb, Pc = lm_fold_pairs([Pa, Pb, Pc], r)
+    return Pa, Pb, Pc, lm_evals_prod(Pa, Pb, Pc)
+
+
+def lm_step_prod_sharedC(Pa, Pb, Pcf, r):
+    """Fold A, B by r; eval against the ALREADY-folded shared C pair."""
+    Pa, Pb = lm_fold_pairs([Pa, Pb], r)
+    return Pa, Pb, lm_evals_prod(Pa, Pb, Pcf)
+
+
+def lm_step_quad(Pa, Pb, r):
+    Pa, Pb = lm_fold_pairs([Pa, Pb], r)
+    return Pa, Pb, lm_evals_quad(Pa, Pb)

@@ -130,15 +130,15 @@ def gather_table(mesh: Mesh, x):
 def gather_unstride(mesh: Mesh, x):
     """[D, m, 16] strided-sharded table -> natural-order [D*m, 16] array.
 
-    Single-process this goes THROUGH THE HOST: pulling addressable shards
-    is a plain device->host copy per shard, whereas the jnp
-    reshape/swapaxes form reshards across the mesh axis — XLA lowers that
-    to an all-gather whose 8-thread rendezvous intermittently stalls
+    On the virtual-device CPU backend this goes THROUGH THE HOST: pulling
+    addressable shards is a plain device->host copy per shard, whereas the
+    jnp reshape/swapaxes form reshards across the mesh axis — XLA lowers
+    that to an all-gather whose 8-thread rendezvous intermittently stalls
     120 s+ on a starved 1-core CPU host (the dryrun flake). Values are
-    identical either way. Multi-process keeps the compiled collective
-    path (shards aren't host-addressable there).
+    identical either way. Real accelerator meshes (and multi-process runs,
+    where shards aren't host-addressable) keep the compiled collective.
     """
-    if jax.process_count() > 1:
+    if jax.process_count() > 1 or jax.default_backend() != "cpu":
         from spartan_tpu.parallel.sumcheck_sharded import from_strided
 
         return from_strided(gather_table(mesh, x))

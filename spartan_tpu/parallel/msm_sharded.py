@@ -62,16 +62,45 @@ def commit_rows_sharded(mesh, Z_mont, blinds_mont, gens_points):
     return tuple(gather_table(mesh, a)[:L] for a in out)
 
 
-def msm_sharded(mesh, points, scalars, c: int = 8):
+def msm_sharded(mesh, points, scalars, c: int | None = None):
     """MSM over a device mesh. points: affine tuple sharded on the point
     axis; scalars: [N, 16] canonical limbs, same sharding. Returns a
-    replicated projective point."""
+    replicated projective point.
+
+    Each device runs the same chunked bucket pipeline as the single-chip
+    ``MSM.msm`` (the sequential Pallas kernel on accelerators) on its
+    point shard; only the tiny [W] window partials cross the ICI.
+    """
+    D = mesh.devices.size
+    n_local = scalars.shape[0] // D
+    nseg = 1
+    if c is None:
+        if MSM._use_seq_kernel():
+            c, nseg = MSM._choose_seq_params(n_local, 1)
+        else:
+            c = MSM.default_window(n_local)
+    elif MSM._use_seq_kernel():
+        _, nseg = MSM._choose_seq_params(n_local, 1)
     W = -(-254 // c)
+    rows_per_call = min(max(1, MSM._chunk_budget() // max(n_local, 1)), W)
 
     def local(px, py, pinf, sc):
         digits = MSM.window_digits(sc, c)          # [n_local, W]
         dig = jnp.moveaxis(digits, -1, 0)          # [W, n_local]
-        part = MSM._bucket_windows((px, py, pinf), dig, c)  # [W] proj partials
+        parts = []
+        start = 0
+        while start < W:                            # bound gather memory
+            stop = min(start + rows_per_call, W)
+            chunk = dig[start:stop]
+            if stop - start < rows_per_call:
+                chunk = jnp.concatenate(
+                    [chunk, jnp.zeros((rows_per_call - (stop - start), n_local),
+                                      jnp.uint32)], axis=0)
+            parts.append(MSM.bucket_windows((px, py, pinf), chunk, c,
+                                            nseg=nseg))
+            start = stop
+        part = tuple(jnp.concatenate([p[i] for p in parts], axis=0)[:W]
+                     for i in range(3))
         # gather per-device partials: [D, W, 16] per coord
         gx = jax.lax.all_gather(part[0], SHARD_AXIS)
         gy = jax.lax.all_gather(part[1], SHARD_AXIS)

@@ -152,11 +152,27 @@ class SNARKGens:
 
     ``pcs`` selects the derefs commitment at runtime ('hyrax' default,
     'kzg' with an optional preloaded SRS) — replacing the reference's
-    compile-time feature flag.
+    compile-time feature flag. Passing a ``SpartanConfig`` instead sets
+    the PCS mode from it and, in KZG mode with no preloaded SRS, loads or
+    generates one at ``config.srs_path`` (kzg.rs:104-121 semantics).
     """
 
     def __init__(self, num_cons: int, num_vars: int, num_inputs: int,
-                 num_nz_entries: int, pcs: str = "hyrax", kzg_srs=None):
+                 num_nz_entries: int, pcs: str | None = None, kzg_srs=None,
+                 config=None):
+        if config is None:
+            from spartan_tpu.config import DEFAULT as config
+        if pcs is None:
+            pcs = config.pcs
+        if pcs == "kzg" and kzg_srs is None:
+            from spartan_tpu.pcs.kzg import KZGSrs
+            from spartan_tpu.utils.math import log_2, pow2
+
+            # derefs batch of 3 rows -> next-pow2 4, x2 row/col split:
+            # the largest committed vector is 8 * next_pow2(max_nnz)
+            nv = log_2(next_power_of_two(num_nz_entries)) + 3
+            kzg_srs = KZGSrs.load_or_generate(
+                config.srs_path, pow2(nv) + 1, config.srs_seed)
         num_vars_padded = next_power_of_two(max(num_vars, num_inputs + 1))
         num_cons_padded = next_power_of_two(max(num_cons, 2))
         self.gens_r1cs_sat = R1CSGens(b"gens_r1cs_sat", num_cons_padded, num_vars_padded)

@@ -37,19 +37,33 @@ _cache_dir = None
 
 _dep_hash: dict = {}
 
+# env switches that do NOT change any traced computation — everything else
+# under SPARTAN_TPU_* is assumed trace-affecting (FUSED_ROUND, SUMCHECK_T,
+# PADD, MSM_BT, ...) and keyed into the cache, so flipping a kill switch
+# can never keep loading an executable compiled under the old setting
+_ENV_INERT = {
+    "SPARTAN_TPU_AOT", "SPARTAN_TPU_PROFILE", "SPARTAN_TPU_PLATFORM",
+    "SPARTAN_TPU_CPU_MESH_CACHE",
+}
+
+
+def _env_sig() -> str:
+    items = sorted((k, v) for k, v in os.environ.items()
+                   if k.startswith("SPARTAN_TPU_") and k not in _ENV_INERT)
+    return repr(items)
+
 
 def _deps_hash(module: str) -> str:
     """Hash of the kernel's dependency closure, not the whole package.
 
     An aot_jit kernel's traced computation is determined by its defining
-    module plus the algebra layer it closes over — everything under
-    spartan_tpu/ops/ (field/curve/limb kernels, the device transcript) —
-    plus the jax version. Keying on just that closure means edits to
-    drivers, io, tests, or docs do NOT invalidate compiled executables
-    (the whole-package hash forced a full recompile of every kernel after
-    ANY .py edit, which at keyless scale costs ~45 min of XLA compiles).
-    New kernel modules outside core/ops that grow extra dependencies must
-    keep them inside ops/ or add them here.
+    module plus the algebra layers it closes over — everything under
+    spartan_tpu/ops/ AND spartan_tpu/core/ (field/curve/limb kernels, the
+    device transcript, protocol helpers like unipoly that fused kernels
+    trace through) — plus the jax version. Keying on that closure means
+    edits to drivers, io, tests, or docs do NOT invalidate compiled
+    executables (the whole-package hash forced a full recompile of every
+    kernel after ANY .py edit, ~45 min of XLA compiles at keyless scale).
     """
     cached = _dep_hash.get(module)
     if cached is not None:
@@ -63,9 +77,10 @@ def _deps_hash(module: str) -> str:
     mod_file = getattr(mod, "__file__", None)
     if mod_file:
         files.append(mod_file)
-    ops_dir = os.path.join(root, "ops")
-    files.extend(os.path.join(ops_dir, f)
-                 for f in sorted(os.listdir(ops_dir)) if f.endswith(".py"))
+    for sub in ("ops", "core"):
+        d = os.path.join(root, sub)
+        files.extend(os.path.join(d, f)
+                     for f in sorted(os.listdir(d)) if f.endswith(".py"))
     h = hashlib.sha256()
     for p in files:
         h.update(p.encode())
@@ -100,21 +115,36 @@ def _shape_sig(tree) -> str:
     return f"{treedef}|{';'.join(map(str, parts))}"
 
 
-def aot_jit(fn=None, *, static_argnames=()):
+def aot_jit(fn=None, *, static_argnames=(), donate_argnames=()):
     """jax.jit whose (trace + compile) is persisted as a loadable
     executable. Static args are bound by keyword via functools.partial so
-    the serialized in_tree covers only the dynamic arguments."""
+    the serialized in_tree covers only the dynamic arguments.
+
+    ``donate_argnames``: arguments whose buffers the caller hands over
+    (dead after the call) — lets XLA reuse their HBM for outputs, which
+    is what keeps the fused sumcheck round steps in-budget at keyless
+    scale (one table in flight instead of input+copy+output)."""
     if fn is None:
-        return functools.partial(aot_jit, static_argnames=static_argnames)
+        return functools.partial(aot_jit, static_argnames=static_argnames,
+                                 donate_argnames=donate_argnames)
 
     sig = inspect.signature(fn)
     static_set = set(static_argnames)
-    jfn_plain = jax.jit(fn, static_argnames=tuple(static_argnames)) \
-        if static_argnames else jax.jit(fn)
+    jit_kw = {}
+    if static_argnames:
+        jit_kw["static_argnames"] = tuple(static_argnames)
+    if donate_argnames:
+        jit_kw["donate_argnames"] = tuple(donate_argnames)
+    jfn_plain = jax.jit(fn, **jit_kw)
 
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
         if not _active():
+            return jfn_plain(*args, **kwargs)
+        # inside an enclosing trace (shard_map/jit on a real mesh) a loaded
+        # executable cannot be applied to tracers — inline via plain jit
+        if any(isinstance(x, jax.core.Tracer)
+               for x in jax.tree_util.tree_leaves((args, kwargs))):
             return jfn_plain(*args, **kwargs)
         bound = sig.bind(*args, **kwargs)
         bound.apply_defaults()
@@ -122,12 +152,12 @@ def aot_jit(fn=None, *, static_argnames=()):
         dyn = [v for k, v in bound.arguments.items() if k not in static_set]
         key_src = "|".join([
             fn.__module__, fn.__qualname__, _deps_hash(fn.__module__),
-            repr(sorted(statics.items())), _shape_sig(dyn)])
+            _env_sig(), repr(sorted(statics.items())), _shape_sig(dyn)])
         key = hashlib.sha256(key_src.encode()).hexdigest()[:24]
         with _LOCK:
             loaded = _MEM.get(key)
         if loaded is None:
-            loaded = _load_or_build(key, fn, statics, dyn)
+            loaded = _load_or_build(key, fn, statics, dyn, donate_argnames)
             with _LOCK:
                 _MEM[key] = loaded
         return loaded(*dyn)
@@ -136,7 +166,7 @@ def aot_jit(fn=None, *, static_argnames=()):
     return wrapper
 
 
-def _load_or_build(key, fn, statics, dyn):
+def _load_or_build(key, fn, statics, dyn, donate_argnames=()):
     from jax.experimental import serialize_executable as se
 
     path = os.path.join(_dir(), key + ".exec")
@@ -147,7 +177,9 @@ def _load_or_build(key, fn, statics, dyn):
             return se.deserialize_and_load(payload, in_tree, out_tree)
         except Exception:
             os.unlink(path)
-    pfn = jax.jit(functools.partial(fn, **statics)) if statics else jax.jit(fn)
+    jkw = {"donate_argnames": tuple(donate_argnames)} if donate_argnames else {}
+    pfn = jax.jit(functools.partial(fn, **statics), **jkw) if statics \
+        else jax.jit(fn, **jkw)
     try:
         compiled = pfn.lower(*dyn).compile()
         payload, in_tree, out_tree = se.serialize(compiled)

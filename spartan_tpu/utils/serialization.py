@@ -133,7 +133,14 @@ def _read(spec, r: _Reader, ctx: dict):
     if callable(spec) and not isinstance(spec, type):
         spec = spec(ctx)  # ctx-dependent (polymorphic) field
     if spec == "int":
+        from spartan_tpu.ops.fields_host import FR_MOD
+
         v = int.from_bytes(r.take(32), "little")
+        # Scalar::from_bytes rejects non-canonical encodings (reference
+        # scalar.rs:74-95, CanonicalDeserialize): without this, v and
+        # v + p decode to the same verifier behavior (proof malleability)
+        if v >= FR_MOD:
+            raise ValueError("non-canonical scalar (>= field modulus)")
         return v
     if spec == "bool":
         b = r.take(1)[0]

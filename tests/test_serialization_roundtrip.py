@@ -55,6 +55,18 @@ def test_nizk_roundtrip_bytes():
         deserialize(NIZK, blob + b"\x00")
 
 
+def test_noncanonical_scalar_rejected():
+    """Scalar bytes >= p must be rejected, not reduced (scalar.rs:74-95):
+    otherwise v and v+p decode to identical verifier behavior and proof
+    bytes are malleable."""
+    v = random.randrange(FR_MOD)
+    canon = v.to_bytes(32, "little")
+    assert deserialize("int", canon) == v
+    for bad in (v + FR_MOD, FR_MOD, (1 << 256) - 1):
+        with pytest.raises(ValueError):
+            deserialize("int", (bad % (1 << 256)).to_bytes(32, "little"))
+
+
 @pytest.mark.parametrize("pcs", ["hyrax", "kzg"])
 def test_snark_roundtrip_bytes(pcs):
     inst, vars_, inputs = _instance()
