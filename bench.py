@@ -153,7 +153,7 @@ def main() -> None:
         from spartan_tpu.utils.devsync import sync as _real_sync
 
         R = n // ROWS
-        gens = MultiCommitGens(b"bench_rows", R)
+        gens = MultiCommitGens(R, b"bench_rows")
         Z = F.encode_fr(scalars).reshape(ROWS, R, -1)
         blinds = F.encode_fr(_rand_scalars(rng, ROWS))
         out = commit_rows(Z, blinds, gens)

@@ -180,16 +180,12 @@ class BulletReductionProof:
             u_vec.append(transcript.challenge_scalar(b"u"))
 
         u_inv_vec = [fr_inv(u) for u in u_vec]
-        # s[i] = prod_j u_j^{+-1} depending on bit j of i (bullet.rs:183-200)
-        s = [1] * n
-        for i in range(n):
-            acc = 1
-            for j in range(lg_n):
-                if (i >> j) & 1:
-                    acc = acc * u_vec[lg_n - 1 - j] % FR_MOD
-                else:
-                    acc = acc * u_inv_vec[lg_n - 1 - j] % FR_MOD
-            s[i] = acc
+        # s[i] = prod_j u_j^{+-1} by bit j of i (bullet.rs:183-200), built
+        # by doubling expansion (2n modmuls, not n*lg_n): the MSB of i
+        # selects u_0, so round k splits the table into (*u_inv_k, *u_k)
+        s = [1]
+        for u, ui in zip(u_vec, u_inv_vec):
+            s = [x * ui % FR_MOD for x in s] + [x * u % FR_MOD for x in s]
 
         u_sq = [u * u % FR_MOD for u in u_vec]
         u_sq_inv = [fr_inv(x) for x in u_sq]

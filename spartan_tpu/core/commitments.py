@@ -56,8 +56,13 @@ def _gen_scalars_from_label(label: bytes, count: int) -> list[int]:
 
 
 # element budget per commit_rows device call; module-level so tests can
-# shrink it to exercise the row-chunk boundaries
-ROWS_BUDGET = 1 << 21
+# shrink it to exercise the row-chunk boundaries. Bounds only the
+# from_mont/digit-split transient (rows x R x 64 B); the MSM driver
+# chunks its gathered points separately, so this can sit well above the
+# old 2^21 — which forced L=2048/R=2048 commits into 1023-row chunks
+# whose 2-row tail was PADDED to 1023 rows of pure garbage walk (~7 s
+# per derefs poly on the chip).
+ROWS_BUDGET = 1 << 23
 
 _FIXED_BASE_C = 8
 _fixed_base_table = None  # device affine tuple [32 * 256] lazily built
@@ -282,7 +287,12 @@ def commit_rows(Z_mont, blinds_mont, gens: MultiCommitGens, mesh=None):
 
         return commit_rows_sharded(mesh, Z_mont, blinds_mont,
                                    gens.extended_points())
-    rows_per = max(1, min(L, ROWS_BUDGET // (R + 1)))
+    rows_max = max(1, min(L, ROWS_BUDGET // (R + 1)))
+    # balance the chunks: ceil-split L so the tail chunk is (nearly) full
+    # — the driver pads short chunks to the call shape and a mostly-pad
+    # chunk walks its full point count as garbage
+    n_chunks = -(-L // rows_max)
+    rows_per = -(-L // n_chunks)
     pts = gens.extended_points()
     parts = []
     start = 0

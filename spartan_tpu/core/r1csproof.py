@@ -227,12 +227,15 @@ class R1CSProof:
         num_rounds_y = log_2(2 * num_vars)
         tau = transcript.challenge_vector(b"challenge_tau", num_rounds_x)
 
+        from spartan_tpu.utils.timer import Timer
+
         # phase-1 sumcheck: claim is a commitment to zero with zero blind
         claim_phase1 = commit_scalar(0, 0, gens.gens_sc.gens_1)
-        comm_claim_post_phase1, rx = self.sc_proof_phase1.verify(
-            claim_phase1, num_rounds_x, 3,
-            gens.gens_sc.gens_1, gens.gens_sc.gens_4, transcript,
-        )
+        with Timer("v_sc_phase1"):
+            comm_claim_post_phase1, rx = self.sc_proof_phase1.verify(
+                claim_phase1, num_rounds_x, 3,
+                gens.gens_sc.gens_1, gens.gens_sc.gens_4, transcript,
+            )
 
         comm_Az_claim, comm_Bz_claim, comm_Cz_claim, comm_prod_Az_Bz_claims = self.claims_phase2
         pok_Cz_claim, proof_prod = self.pok_claims_phase2
@@ -262,10 +265,11 @@ class R1CSProof:
             comm_Az_claim.mul(r_A).add(comm_Bz_claim.mul(r_B)).add(comm_Cz_claim.mul(r_C))
         )
 
-        comm_claim_post_phase2, ry = self.sc_proof_phase2.verify(
-            comm_claim_phase2, num_rounds_y, 2,
-            gens.gens_sc.gens_1, gens.gens_sc.gens_3, transcript,
-        )
+        with Timer("v_sc_phase2"):
+            comm_claim_post_phase2, ry = self.sc_proof_phase2.verify(
+                comm_claim_phase2, num_rounds_y, 2,
+                gens.gens_sc.gens_1, gens.gens_sc.gens_3, transcript,
+            )
 
         # witness opening against the initial commitment
         self.proof_eval_vars_at_ry.verify(

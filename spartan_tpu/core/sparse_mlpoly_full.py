@@ -923,8 +923,12 @@ class PolyEvalNetworkProof:
         num_ops = next_power_of_two(nz)
         num_mem_cells = comm.num_mem_cells
 
-        claims_mem, rand_mem, claims_ops, claims_dotp, rand_ops = \
-            self.proof_prod_layer.verify(num_ops, num_mem_cells, evals, transcript)
+        from spartan_tpu.utils.timer import Timer
+
+        with Timer("v_product_layer"):
+            claims_mem, rand_mem, claims_ops, claims_dotp, rand_ops = \
+                self.proof_prod_layer.verify(
+                    num_ops, num_mem_cells, evals, transcript)
         assert len(claims_mem) == 4
         assert len(claims_ops) == 4 * num_instances
 
@@ -933,9 +937,11 @@ class PolyEvalNetworkProof:
         claims_col = (claims_mem[2], claims_ops[2 * num_instances:3 * num_instances],
                       claims_ops[3 * num_instances:4 * num_instances], claims_mem[3])
 
-        self.proof_hash_layer.verify(
-            (rand_mem, rand_ops), claims_row, claims_col, claims_dotp,
-            comm, comm_derefs, gens, rx, ry, r_hash, r_multiset_check, transcript)
+        with Timer("v_hash_layer"):
+            self.proof_hash_layer.verify(
+                (rand_mem, rand_ops), claims_row, claims_col, claims_dotp,
+                comm, comm_derefs, gens, rx, ry, r_hash, r_multiset_check,
+                transcript)
 
 
 def equalize(rx: list[int], ry: list[int]) -> tuple[list[int], list[int]]:

@@ -136,8 +136,13 @@ def run(inst, vars_, inputs, max_nnz, pcs: str = "hyrax", json_out: bool = False
 
     t0 = time.perf_counter()
     vt = Transcript(b"keyless_bench")
+    Timer.collect()
     proof.verify(comm, inputs, vt, gens)
     report["verify_s"] = time.perf_counter() - t0
+    report["verify_phases"] = [
+        {"depth": d, "label": lbl, "s": round(dt, 4)}
+        for d, lbl, dt in Timer.records()]
+    Timer.collect(False)
     report["verified"] = True
 
     from spartan_tpu.utils.serialization import size_bytes

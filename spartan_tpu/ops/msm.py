@@ -304,6 +304,9 @@ def msm(points, scalars, c: int | None = None):
     dig = jnp.moveaxis(digits.reshape(B, n, W), -1, 0).reshape(W * B, n)
 
     total_rows = W * B
+    # NOT ceil-balanced: a padded tail call wastes at most one call's walk,
+    # while balancing would vary the call shape per workload (each shape
+    # is a fresh multi-10s kernel compile through the tunnel)
     rows_per_call = min(max(1, _chunk_budget() // n), total_rows)
     parts = []
     start = 0

@@ -12,9 +12,12 @@ operations — the standard JAX multi-controller discipline. ``shard_table``
 feeds each process only its addressable rows; ``gather_table`` is the one
 place a device table crosses back to every host (an all-gather that rides
 ICI within a host and DCN between hosts). Single-process runs take the
-zero-copy fast paths. The multi-host branches follow the documented
-jax.Array idioms but have only ever run single-process (no multi-host
-hardware was available); treat them as a reviewed-but-unproven code path.
+zero-copy fast paths. The multi-host branches are exercised by a real
+2-process ``jax.distributed`` run over gloo CPU collectives
+(tools/dcn_smoke.py: per-process shard feeding, replicated all-gather
+handoff, strided gathers, and a cross-process field-psum sumcheck round,
+all checked against the single-process reference); multi-host TPU
+hardware itself has not been available.
 """
 
 from __future__ import annotations

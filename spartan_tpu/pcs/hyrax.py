@@ -112,27 +112,38 @@ class PolyEvalProof:
         eq = EqPolynomial(r)
         L_dev, R_dev = eq.compute_factored_evals()
         from spartan_tpu.core import hostpath as HP
+        from spartan_tpu.utils.timer import Timer
 
-        if poly.len <= HP.HOST_N or (mesh is None
-                                     and poly.len <= HP.host_table_n()):
-            L_host = HP.eq_evals(r[:left])
-            Zh = poly.to_ints()
-            LZ_host = [sum(L_host[i] * Zh[i * R_size + j] % FR_MOD
-                           for i in range(L_size)) % FR_MOD
-                       for j in range(R_size)]
-            LZ = F.encode_fr(LZ_host)
-        else:
-            LZ = poly.bound(L_dev, L_size, R_size, mesh=mesh)
-            L_host = F.decode_fr(L_dev)
+        with Timer(f"open_bound_LZ[{L_size}x{R_size}]"):
+            if poly.len <= HP.HOST_N or (mesh is None
+                                         and poly.len <= HP.host_table_n()):
+                L_host = HP.eq_evals(r[:left])
+                Zh = poly.to_ints()
+                LZ_host = [sum(L_host[i] * Zh[i * R_size + j] % FR_MOD
+                               for i in range(L_size)) % FR_MOD
+                           for j in range(R_size)]
+                LZ = F.encode_fr(LZ_host)
+            else:
+                LZ = poly.bound(L_dev, L_size, R_size, mesh=mesh)
+                L_host = F.decode_fr(L_dev)
         LZ_blind = sum(b * l for b, l in zip(blind_vals, L_host)) % FR_MOD
 
-        proof, _Cx, C_Zr_prime = DotProductProofLog.prove(
-            gens.gens, transcript, random_tape, LZ, LZ_blind, R_dev, Zr, bz,
-        )
+        with Timer(f"open_dotp_log[{R_size}]"):
+            proof, _Cx, C_Zr_prime = DotProductProofLog.prove(
+                gens.gens, transcript, random_tape, LZ, LZ_blind, R_dev,
+                Zr, bz,
+            )
         return PolyEvalProof(proof), C_Zr_prime
 
     def verify(self, gens: PolyCommitmentGens, transcript, r: list[int],
                C_Zr: GroupElem, comm: PolyCommitment) -> None:
+        from spartan_tpu.utils.timer import Timer
+
+        with Timer(f"v_polyeval[L={len(comm.C)}]"):
+            self._verify_inner(gens, transcript, r, C_Zr, comm)
+
+    def _verify_inner(self, gens: PolyCommitmentGens, transcript, r: list[int],
+                      C_Zr: GroupElem, comm: PolyCommitment) -> None:
         transcript.append_protocol_name(PolyEvalProof.PROTOCOL)
         eq = EqPolynomial(r)
         L_dev, R_dev = eq.compute_factored_evals()

@@ -167,21 +167,32 @@ def aot_jit(fn=None, *, static_argnames=(), donate_argnames=()):
 
 
 def _load_or_build(key, fn, statics, dyn, donate_argnames=()):
+    import time
+
     from jax.experimental import serialize_executable as se
+
+    from spartan_tpu.utils.timer import Timer
 
     path = os.path.join(_dir(), key + ".exec")
     if os.path.exists(path):
         try:
+            t0 = time.perf_counter()
             with open(path, "rb") as fh:
                 payload, in_tree, out_tree = pickle.loads(fh.read())
-            return se.deserialize_and_load(payload, in_tree, out_tree)
+            out = se.deserialize_and_load(payload, in_tree, out_tree)
+            Timer.acc("aot/load", time.perf_counter() - t0)
+            Timer.count("aot/load")
+            return out
         except Exception:
             os.unlink(path)
     jkw = {"donate_argnames": tuple(donate_argnames)} if donate_argnames else {}
     pfn = jax.jit(functools.partial(fn, **statics), **jkw) if statics \
         else jax.jit(fn, **jkw)
     try:
+        t0 = time.perf_counter()
         compiled = pfn.lower(*dyn).compile()
+        Timer.acc("aot/compile", time.perf_counter() - t0)
+        Timer.count("aot/compile")
         payload, in_tree, out_tree = se.serialize(compiled)
         tmp = f"{path}.{os.getpid()}.tmp"
         with open(tmp, "wb") as fh:

@@ -62,7 +62,7 @@ def main() -> None:
         n_el = L * R
         print(f"--- commit_rows [{L} x {R}] = 2^{n_el.bit_length()-1} elements",
               flush=True)
-        gens = MultiCommitGens(b"commit_profile", R)
+        gens = MultiCommitGens(R, b"commit_profile")
         v = (jnp.arange(n_el, dtype=jnp.uint32) * jnp.uint32(2654435761)) >> 1
         canon = jnp.zeros((n_el, 16), jnp.uint32)
         canon = canon.at[:, 0].set(v & 0xFFFF).at[:, 1].set(v >> 16)
