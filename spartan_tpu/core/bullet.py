@@ -181,10 +181,11 @@ class BulletReductionProof:
 
         u_inv_vec = [fr_inv(u) for u in u_vec]
         # s[i] = prod_j u_j^{+-1} by bit j of i (bullet.rs:183-200), built
-        # by doubling expansion (2n modmuls, not n*lg_n): the MSB of i
-        # selects u_0, so round k splits the table into (*u_inv_k, *u_k)
+        # by doubling expansion (2n modmuls, not n*lg_n). Each split puts
+        # its challenge in the NEW top bit, and the MSB of i must select
+        # u_0 — so process the challenges in reverse order.
         s = [1]
-        for u, ui in zip(u_vec, u_inv_vec):
+        for u, ui in zip(reversed(u_vec), reversed(u_inv_vec)):
             s = [x * ui % FR_MOD for x in s] + [x * u % FR_MOD for x in s]
 
         u_sq = [u * u % FR_MOD for u in u_vec]

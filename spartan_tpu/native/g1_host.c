@@ -301,12 +301,75 @@ static void jac_to_affine_bytes(const jac *p, uint8_t *out_xy, uint8_t *out_inf)
 
 /* ---- exported entry points ------------------------------------------- */
 
+/* c-bit window digit at bit offset `bit` of a 32-byte LE scalar. */
+static unsigned digit_at(const uint8_t *s, int bit, int c) {
+    int byte = bit >> 3, sh = bit & 7;
+    unsigned v = s[byte];
+    if (byte + 1 < 32) v |= (unsigned)s[byte + 1] << 8;
+    if (byte + 2 < 32) v |= (unsigned)s[byte + 2] << 16;
+    return (v >> sh) & ((1u << c) - 1);
+}
+
+/* Bucket-method Pippenger for larger n: ~(254/c) adds/point + 2*2^c
+ * reduction adds per window, vs ~75 adds/point for the per-point-table
+ * shared-doubling method below (which stays for small n where bucket
+ * reduction would dominate). */
+static void msm_pippenger(const uint8_t *scalars, const uint8_t *points_xy,
+                          const uint8_t *inf, u64 n, jac *out) {
+    int c;
+    if (n >= (u64)1 << 14) c = 12;
+    else if (n >= (u64)1 << 11) c = 10;
+    else c = 8;
+    int W = (254 + c - 1) / c;
+    int nb = (1 << c) - 1;
+    jac *buckets = (jac *)malloc(sizeof(jac) * nb);
+    fq *axs = (fq *)malloc(sizeof(fq) * n);
+    fq *ays = (fq *)malloc(sizeof(fq) * n);
+    uint8_t *dead = (uint8_t *)malloc(n);
+    for (u64 k = 0; k < n; k++) {
+        dead[k] = inf && inf[k];
+        if (!dead[k]) {
+            load_fq(&axs[k], points_xy + 64 * k);
+            load_fq(&ays[k], points_xy + 64 * k + 32);
+        }
+    }
+    jac acc = JAC_INF;
+    for (int w = W - 1; w >= 0; w--) {
+        if (!jac_is_inf(&acc))
+            for (int b = 0; b < c; b++) jac_dbl(&acc, &acc);
+        for (int b = 0; b < nb; b++) buckets[b] = JAC_INF;
+        int bit = w * c;
+        for (u64 k = 0; k < n; k++) {
+            if (dead[k]) continue;
+            unsigned d = digit_at(scalars + 32 * k, bit, c);
+            if (d)
+                jac_add_affine(&buckets[d - 1], &buckets[d - 1],
+                               &axs[k], &ays[k]);
+        }
+        jac run = JAC_INF, tot = JAC_INF;
+        for (int b = nb - 1; b >= 0; b--) {
+            jac_add(&run, &run, &buckets[b]);
+            jac_add(&tot, &tot, &run);
+        }
+        jac_add(&acc, &acc, &tot);
+    }
+    free(buckets); free(axs); free(ays); free(dead);
+    *out = acc;
+}
+
 /* MSM: scalars[n] 32B LE (mod r assumed), points: x||y 64B each, inf flags.
- * Shared-doubling 4-bit window method. Output affine bytes + inf flag. */
+ * Bucket Pippenger for n >= 256, per-point-table shared-doubling 4-bit
+ * windows below. Output affine bytes + inf flag. */
 EXPORT void g1_msm(const uint8_t *scalars, const uint8_t *points_xy,
                    const uint8_t *inf, u64 n, uint8_t *out_xy,
                    uint8_t *out_inf) {
     enum { WBITS = 4, TSIZE = 1 << WBITS, TOP = 256 };
+    if (n >= 256) {
+        jac acc;
+        msm_pippenger(scalars, points_xy, inf, n, &acc);
+        jac_to_affine_bytes(&acc, out_xy, out_inf);
+        return;
+    }
     /* per-point tables of 1..15 multiples (jacobian, from affine input) */
     jac *tables = (jac *)malloc(sizeof(jac) * n * (TSIZE - 1));
     for (u64 k = 0; k < n; k++) {
