@@ -79,12 +79,12 @@ class ProductCircuit:
 
     # Layers at/below this size are checkpointed; larger ones are
     # recomputed from fresh leaves on demand (one ~2N multiply walk per
-    # request). 2^19 keeps the per-tree checkpoint store ~2x leaf size
-    # (~1 GB across all keyless-scale trees — affordable once the LM
-    # kernels removed the 8x padded operand copies) while only the top
-    # 1-2 layers of a 2^21-leaf tree ever re-walk.
+    # request). Raising this to 2^19 OOMed the 2^20 campaign (the ~2 GB
+    # of extra checkpoint residency landed on top of the LM pair copies
+    # at the leaf layer); 2^16 is the measured-safe default, env-tunable
+    # for bigger-HBM parts.
     CHECKPOINT_MAX = int(os.environ.get(
-        "SPARTAN_TPU_TREE_CP_MAX", str(1 << 19)))
+        "SPARTAN_TPU_TREE_CP_MAX", str(1 << 16)))
 
     def __init__(self, poly: DensePolynomial | None = None, *, leaf_fn=None,
                  checkpoint_max: int | None = None, mesh=None):

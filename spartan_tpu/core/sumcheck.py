@@ -677,9 +677,17 @@ class SumcheckInstanceProof:
                                              + (Cp,) + tuple(TC))
                             lm = (prep[:I], prep[I:2 * I],
                                   prep[2 * I + 1:], prep[2 * I])
-                            # drop our natural refs: lazily-built tree
-                            # layers free; callers keep theirs (derefs)
+                            # drop our natural refs AND the caller's par
+                            # wrappers: recomputed tree-layer tables have
+                            # no other owner, so freeing them halves the
+                            # prep's transient doubling (checkpointed
+                            # layers keep their arrays in the tree's _cp
+                            # store; the seq/dotp tables belong to the
+                            # caller (live deref tables) and are kept)
                             TA = TB = TC = Cp = None
+                            for _p in (list(A_par) + list(B_par)
+                                       + [C_par]):
+                                _p.Z = None
                         if lm is not None:
                             LA, LB, LC, LCp = lm
                             pending = k_lm_evals_cubic_batched(
