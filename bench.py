@@ -132,19 +132,28 @@ def main() -> None:
 
         for log2 in (int(x) for x in SWEEP.split(",") if x):
             m = 1 << log2
-            sc = jnp.asarray(ints_to_limbs(_rand_scalars(rng, m)))
-            g = [int(x) for x in rng.integers(1, 1 << 62, size=m)]
-            p = points_from_scalars(g)
-            _msm_once(p, sc)
-            t1 = time.perf_counter()
-            _msm_once(p, sc)
-            d = time.perf_counter() - t1
-            print(f"# sweep 2^{log2}: {m/d:.0f} points/s ({d:.2f} s)",
-                  file=sys.stderr)
-            # free before the next (larger) size: at 2^24 the points +
-            # digits + gathered prefix streams approach the 16 GB HBM,
-            # and a live previous-size set tips it into RESOURCE_EXHAUSTED
-            del sc, p
+            try:
+                sc = jnp.asarray(ints_to_limbs(_rand_scalars(rng, m)))
+                g = [int(x) for x in rng.integers(1, 1 << 62, size=m)]
+                p = points_from_scalars(g)
+                _msm_once(p, sc)
+                t1 = time.perf_counter()
+                _msm_once(p, sc)
+                d = time.perf_counter() - t1
+                print(f"# sweep 2^{log2}: {m/d:.0f} points/s ({d:.2f} s)",
+                      file=sys.stderr)
+                # free before the next (larger) size: at 2^24 the points +
+                # digits + gathered prefix streams approach the 16 GB HBM,
+                # and a live previous-size set tips it into
+                # RESOURCE_EXHAUSTED
+                del sc, p
+            except Exception as e:  # noqa: BLE001 - a failed sweep size
+                # must not kill the headline metric line below
+                print(f"# sweep 2^{log2}: FAILED {type(e).__name__}",
+                      file=sys.stderr)
+                # drop the failed size's device arrays NOW — leaking them
+                # into the next step turns one OOM into a cascade
+                sc = p = g = None
             gc.collect()
 
     if ROWS:

@@ -47,10 +47,14 @@ def _halves(T):
 
 
 def _pallas_rounds_ok(n: int) -> bool:
-    """Use the fused Pallas round-step kernels (ops/pallas_sumcheck)?
+    """Use the quarter-layout Pallas round kernels (ops/pallas_sumcheck)?
 
     TPU only — the XLA composition below stays the reference semantics
-    and the CPU test path. Static at trace time (n is a shape)."""
+    and the CPU test path. Static at trace time (n is a shape).
+    Capped at 2^19 independently of the LM gate: the quarter kernels'
+    [.., 16]-minor operands relayout to 8x-padded copies and OOM above
+    that; the limb-major lm_* kernels (preferred by every driver) cover
+    the larger sizes."""
     if os.environ.get("SPARTAN_TPU_FUSED_ROUND", "1") != "1":
         return False
     try:
@@ -60,7 +64,7 @@ def _pallas_rounds_ok(n: int) -> bool:
         return False
     from spartan_tpu.ops import pallas_sumcheck as PS
 
-    return PS.MIN_N <= n <= FUSED_ROUND_MAX_N
+    return PS.MIN_N <= n <= min(FUSED_ROUND_MAX_N, _QUARTER_MAX_N)
 
 
 # Upper gate for the fused round kernels. The quarter-layout kernels
@@ -70,6 +74,9 @@ def _pallas_rounds_ok(n: int) -> bool:
 # compact, so the gate now covers the whole keyless-scale range.
 FUSED_ROUND_MAX_N = int(os.environ.get(
     "SPARTAN_TPU_FUSED_ROUND_MAX_N", str(1 << 22)))
+# quarter-layout kernels keep their proven cap (see _pallas_rounds_ok)
+_QUARTER_MAX_N = int(os.environ.get(
+    "SPARTAN_TPU_QUARTER_MAX_N", str(1 << 19)))
 _pallas_batched_ok = _pallas_rounds_ok
 
 
@@ -673,21 +680,32 @@ class SumcheckInstanceProof:
                 else:
                     if pending is None:
                         if lm is None and _lm_rounds_ok(cur_n):
-                            prep = k_lm_prep(tuple(TA) + tuple(TB)
-                                             + (Cp,) + tuple(TC))
-                            lm = (prep[:I], prep[I:2 * I],
-                                  prep[2 * I + 1:], prep[2 * I])
-                            # drop our natural refs AND the caller's par
-                            # wrappers: recomputed tree-layer tables have
-                            # no other owner, so freeing them halves the
-                            # prep's transient doubling (checkpointed
-                            # layers keep their arrays in the tree's _cp
-                            # store; the seq/dotp tables belong to the
-                            # caller (live deref tables) and are kept)
+                            # per-instance prep, freeing each par table's
+                            # natural form as its pair lands: a single
+                            # 43-table prep program held inputs+outputs
+                            # (2x the whole table set) live at once and
+                            # OOMed the 2^21 leaf layer. Recomputed
+                            # tree-layer tables have no other owner
+                            # (checkpointed layers live in the tree's
+                            # _cp store; seq/dotp deref tables are the
+                            # caller's and are kept).
+                            LA, LB, LC = [], [], []
+                            for k in range(I):
+                                if k < nP:
+                                    pa, pb = k_lm_prep((TA[k], TB[k]))
+                                    A_par[k].Z = None
+                                    B_par[k].Z = None
+                                else:
+                                    pa, pb, pc = k_lm_prep(
+                                        (TA[k], TB[k], TC[k - nP]))
+                                    LC.append(pc)
+                                LA.append(pa)
+                                LB.append(pb)
+                                TA[k] = TB[k] = None
+                            (pcp,) = k_lm_prep((Cp,))
+                            C_par.Z = None
+                            lm = (LA, LB, LC, pcp)
                             TA = TB = TC = Cp = None
-                            for _p in (list(A_par) + list(B_par)
-                                       + [C_par]):
-                                _p.Z = None
                         if lm is not None:
                             LA, LB, LC, LCp = lm
                             pending = k_lm_evals_cubic_batched(
