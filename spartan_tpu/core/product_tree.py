@@ -280,7 +280,8 @@ class ProductCircuitEvalProofBatched:
 
     @staticmethod
     def prove(prod_circuit_vec: list[ProductCircuit],
-              dotp_circuit_vec: list[DotProductCircuit], transcript, mesh=None):
+              dotp_circuit_vec: list[DotProductCircuit], transcript, mesh=None,
+              own_dotp: bool = False):
         """Returns (proof, rand) (product_tree.rs:251-392)."""
         assert prod_circuit_vec
         claims_dotp_final = ([], [], [])
@@ -324,6 +325,7 @@ class ProductCircuitEvalProofBatched:
                     (poly_A_par, poly_B_par, poly_C_par),
                     (poly_A_seq, poly_B_seq, poly_C_seq),
                     coeff_vec, transcript, mesh=mesh,
+                    own_seq=own_dotp and bool(poly_A_seq),
                 )
             claims_prod_left, claims_prod_right, _claims_eq = claims_prod
 

@@ -789,8 +789,11 @@ class ProductLayerProof:
         ops_circuits = (list(row_prod_layer.read_vec) + list(row_prod_layer.write_vec) +
                         list(col_prod_layer.read_vec) + list(col_prod_layer.write_vec))
         timer_ops_trees = Timer("ops_product_trees")
+        # the dotp circuits are clone+split COPIES built above — hand
+        # their buffers to the sumcheck so the LM path can free them
         proof_ops, rand_ops = ProductCircuitEvalProofBatched.prove(
-            ops_circuits, dotp_circuits, transcript, mesh=mesh)
+            ops_circuits, dotp_circuits, transcript, mesh=mesh,
+            own_dotp=True)
         timer_ops_trees.stop()
 
         mem_circuits = [row_prod_layer.init, row_prod_layer.audit,

@@ -602,12 +602,15 @@ class SumcheckInstanceProof:
     @staticmethod
     def prove_cubic_batched(claim: int, num_rounds: int,
                             poly_vec_par, poly_vec_seq, coeffs: list[int], transcript,
-                            mesh=None):
+                            mesh=None, own_seq: bool = False):
         """Batched product sumcheck (sumcheck.rs:165-330).
 
         poly_vec_par: (A_list, B_list, C_shared) — DensePolynomials; the
         "par" instances share C (the eq table). poly_vec_seq: (A_list,
         B_list, C_list) with per-instance C. All tables equal length.
+        ``own_seq``: the seq tables are caller-disposable copies (the
+        dotp split halves) — the LM path may free their device buffers
+        after converting to pair form.
         Each round is ONE fused fold+eval dispatch; with ``mesh`` the
         tables are strided-sharded over the devices until they shrink
         below shard granularity (transcript bit-identical either way).
@@ -699,6 +702,11 @@ class SumcheckInstanceProof:
                                     pa, pb, pc = k_lm_prep(
                                         (TA[k], TB[k], TC[k - nP]))
                                     LC.append(pc)
+                                    if own_seq:
+                                        A_seq[k - nP].Z = None
+                                        B_seq[k - nP].Z = None
+                                        C_seq[k - nP].Z = None
+                                        TC[k - nP] = None
                                 LA.append(pa)
                                 LB.append(pb)
                                 TA[k] = TB[k] = None
