@@ -128,6 +128,13 @@ class SparseMatPolynomial:
             }
         return self._dev
 
+    def release_device(self) -> None:
+        """Drop the cached device copies (values + permutations); rebuilt
+        lazily on next use. The SNARK prover releases the A/B/C device
+        state (~650 MB at keyless scale) before the lookup argument, whose
+        working set is the 16 GB chip's limiting factor."""
+        self._dev = None
+
     def num_entries(self) -> int:
         return len(self.vals)
 

@@ -453,8 +453,10 @@ class Layers:
 
         # big tables: pass LEAF GENERATOR closures so the product trees only
         # checkpoint their small upper layers (see ProductCircuit); the hash
-        # leaves are regenerated per requested layer from inputs that stay
-        # live anyway (addr/ts tables, deref values)
+        # leaves are regenerated per requested layer. The addr/read-ts
+        # device tables are NOT captured (12 x num_ops limb tables =
+        # 3.2 GB at keyless scale): each regeneration re-encodes them
+        # from the host usize arrays (~50 ms per table) instead.
         lazy_ops = num_ops > ProductCircuit.CHECKPOINT_MAX
         lazy_mem = num_mem_cells > ProductCircuit.CHECKPOINT_MAX
 
@@ -472,14 +474,18 @@ class Layers:
             return ProductCircuit(DensePolynomial(fn()))
 
         read_vec, write_vec = [], []
-        for addrs, derefs_p, read_ts in zip(
-                addr_timestamps.ops_addr, poly_ops_val, addr_timestamps.read_ts):
-            def read_leaves(a=addrs, d=derefs_p, t=read_ts):
-                return k_hash_layer(a.Z, d.Z, t.Z, rh, rh2, gam)
+        at = addr_timestamps
+        for i, derefs_p in enumerate(poly_ops_val):
+            def read_leaves(i=i, d=derefs_p):
+                a = F.encode_small_uints(at.ops_addr_usize[i])
+                t = F.encode_small_uints(at.read_ts_usize[i])
+                return k_hash_layer(a, d.Z, t, rh, rh2, gam)
 
-            def write_leaves(a=addrs, d=derefs_p, t=read_ts):
-                wts = fr.add(t.Z, jnp.broadcast_to(one, t.Z.shape))
-                return k_hash_layer(a.Z, d.Z, wts, rh, rh2, gam)
+            def write_leaves(i=i, d=derefs_p):
+                a = F.encode_small_uints(at.ops_addr_usize[i])
+                t = F.encode_small_uints(at.read_ts_usize[i])
+                wts = fr.add(t, jnp.broadcast_to(one, t.shape))
+                return k_hash_layer(a, d.Z, wts, rh, rh2, gam)
 
             read_vec.append(circuit(read_leaves, lazy_ops))
             write_vec.append(circuit(write_leaves, lazy_ops))

@@ -692,6 +692,9 @@ class SumcheckInstanceProof:
                             # (checkpointed layers live in the tree's
                             # _cp store; seq/dotp deref tables are the
                             # caller's and are kept).
+                            from spartan_tpu.utils.devsync import sync \
+                                as _devsync
+
                             LA, LB, LC = [], [], []
                             for k in range(I):
                                 if k < nP:
@@ -710,6 +713,13 @@ class SumcheckInstanceProof:
                                 LA.append(pa)
                                 LB.append(pb)
                                 TA[k] = TB[k] = None
+                                if k % 4 == 3:
+                                    # drain the queue: PJRT allocates op
+                                    # outputs AT ENQUEUE, so an unthrottled
+                                    # prep burst holds naturals + all pairs
+                                    # simultaneously (~2x the table set,
+                                    # the 2^20 leaf-layer OOM)
+                                    _devsync(pa)
                             (pcp,) = k_lm_prep((Cp,))
                             C_par.Z = None
                             lm = (LA, LB, LC, pcp)

@@ -215,6 +215,10 @@ class SNARK:
             gens.gens_r1cs_sat, transcript, tape, mesh=mesh,
         )
         inst_evals = inst.inst.evaluate(rx, ry)
+        # the sat proof and evaluations are done with the matrices' device
+        # state; free it before the lookup argument (HBM-limiting phase)
+        for m in (inst.inst.A, inst.inst.B, inst.inst.C):
+            m.release_device()
         r1cs_eval_proof = R1CSEvalProof.prove(
             decomm, rx, ry, inst_evals, gens.gens_r1cs_eval, transcript, tape,
             mesh=mesh)
