@@ -110,13 +110,6 @@ def k_lm_prep(tables):
 
 
 @aot_jit
-def k_lm_unprep(pairs):
-    from spartan_tpu.ops import pallas_sumcheck as PS
-
-    return [PS.lm_unprep(P) for P in pairs]
-
-
-@aot_jit
 def k_lm_folds_unprep(pairs, r):
     """Fold every pair by r and hand back NATURAL tables (host/tail exit)."""
     from spartan_tpu.ops import pallas_sumcheck as PS
