@@ -168,7 +168,14 @@ class BulletReductionProof:
         )
 
     def verify(self, n: int, b_vec_mont, transcript, Gamma: GroupElem, G_affine):
-        """Returns (g_hat, Gamma_hat, b_hat) per bullet.rs:130-173."""
+        """Returns (g_hat, Gamma_hat, b_hat) per bullet.rs:130-173.
+
+        ``b_vec_mont`` may be a host list of canonical ints and
+        ``G_affine`` a MultiCommitGens (all-host verify: the generator
+        table comes from the gens' cached host points, no device work)."""
+        gens_obj = G_affine if hasattr(G_affine, "host_points") else None
+        if gens_obj is not None:
+            G_affine = gens_obj.G
         lg_n = log_2(n)
         if len(self.L_vec) != lg_n or len(self.R_vec) != lg_n:
             raise ProofVerifyError("bullet: wrong number of rounds")
@@ -191,9 +198,14 @@ class BulletReductionProof:
         u_sq = [u * u % FR_MOD for u in u_vec]
         u_sq_inv = [fr_inv(x) for x in u_sq]
         if n <= HP.HOST_MSM_N:
-            G_host = CJ.decode_points(CJ.from_affine(*G_affine))[:n]
+            if gens_obj is not None:
+                G_host = gens_obj.host_points()[0][:n]
+            else:
+                G_host = CJ.decode_points(CJ.from_affine(*G_affine))[:n]
             g_hat = GroupElem(CH.msm(s, G_host))
-            b_hat = HP.dot(s, F.decode_fr(b_vec_mont))
+            b_host = b_vec_mont if isinstance(b_vec_mont, list) \
+                else F.decode_fr(b_vec_mont)
+            b_hat = HP.dot(s, b_host)
             lr = GroupElem(CH.msm(u_sq + u_sq_inv,
                                   [g.p for g in self.L_vec] + [g.p for g in self.R_vec]))
         else:

@@ -305,26 +305,29 @@ class DotProductProofLog:
 
     def verify(self, n: int, gens: DotProductProofGens, transcript,
                a_mont, Cx: GroupElem, Cy: GroupElem) -> None:
+        """``a_mont`` is the public vector, either a device Montgomery
+        limb array or a host list of canonical ints (the all-host verify
+        path passes a list so no device dispatch ever happens)."""
         assert gens.n == n
         transcript.append_protocol_name(DotProductProofLog.PROTOCOL)
         Cx.append_to_transcript(b"Cx", transcript)
         Cy.append_to_transcript(b"Cy", transcript)
-        transcript.append_scalars(b"a", F.decode_fr(a_mont))
+        a_is_host = isinstance(a_mont, list)
+        transcript.append_scalars(b"a", a_mont if a_is_host
+                                  else F.decode_fr(a_mont))
 
         r = transcript.challenge_scalar(b"r")
         gens_1_scaled = gens.gens_1.scale(r)
         Gamma = Cx.add(Cy.mul(r))
 
         g_hat, Gamma_hat, a_hat = self.bullet_reduction_proof.verify(
-            n, a_mont, transcript, Gamma, gens.gens_n.G
+            n, a_mont, transcript, Gamma, gens.gens_n
         )
         self.delta.append_to_transcript(b"delta", transcript)
         self.beta.append_to_transcript(b"beta", transcript)
         c = transcript.challenge_scalar(b"c")
 
-        from spartan_tpu.ops import curve_jax as CJ
-
-        Q = GroupElem(CJ.decode_points(CJ.from_affine(*gens_1_scaled.G))[0])
+        Q = GroupElem(gens_1_scaled.host_points()[0][0])
         h_scaled = GroupElem(_h_host(gens_1_scaled))
         lhs = Gamma_hat.mul(c).add(self.beta).mul(a_hat).add(self.delta)
         rhs = g_hat.add(Q.mul(a_hat)).mul(self.z1).add(h_scaled.mul(self.z2))

@@ -145,13 +145,26 @@ class PolyEvalProof:
     def _verify_inner(self, gens: PolyCommitmentGens, transcript, r: list[int],
                       C_Zr: GroupElem, comm: PolyCommitment) -> None:
         transcript.append_protocol_name(PolyEvalProof.PROTOCOL)
+        from spartan_tpu.core import hostpath as HP
+        from spartan_tpu.ops import curve_host as CH
+
+        left, right = EqPolynomial.compute_factored_lens(len(r))
+        R_size = pow2(right)
+        if R_size <= HP.HOST_MSM_N:
+            # all-host verify: eq tables are a few thousand modmuls and the
+            # MSMs run on the C backend — zero device dispatches, so the
+            # verifier is immune to tunnel/queue latency (the reference's
+            # verify is all-CPU too, r1csproof.rs:463)
+            L_host = HP.eq_evals(r[:left])
+            R_host = HP.eq_evals(r[left:])
+            C_LZ = GroupElem(CH.msm(L_host, [c.p for c in comm.C]))
+            self.proof.verify(R_size, gens.gens, transcript, R_host, C_LZ, C_Zr)
+            return
+
         eq = EqPolynomial(r)
         L_dev, R_dev = eq.compute_factored_evals()
 
         # C_LZ = <L, comm.C> (one small MSM, hyrax.rs:133)
-        from spartan_tpu.core import hostpath as HP
-        from spartan_tpu.ops import curve_host as CH
-
         L_host = F.decode_fr(L_dev)
         if len(comm.C) <= HP.HOST_MSM_N:
             C_LZ = GroupElem(CH.msm(L_host, [c.p for c in comm.C]))
