@@ -71,8 +71,54 @@ def synthetic(log2_cons: int, num_inputs: int = 1, nnz_per_row: int = 3, seed: i
     return Instance.from_shape(shape), Assignment(vars_), Assignment(inputs), max_nnz
 
 
+def verify_only(inst, vars_, inputs, max_nnz, load_dir: str,
+                pcs: str = "hyrax", json_out: bool = False, reps: int = 3):
+    """Re-time SNARK.verify against a proof + commitment saved by a prior
+    ``run(..., save_dir=...)``: verifier changes can be measured in
+    seconds instead of re-running the multi-minute encode+prove. The
+    instance/gens are regenerated (deterministic), the proof and comm are
+    loaded from their canonical bytes — so this also exercises the full
+    adversarial deserialization path every time."""
+    import os
+
+    from spartan_tpu.core.r1cs import R1CSCommitment
+    from spartan_tpu.utils.serialization import deserialize
+    from spartan_tpu.utils.timer import Timer
+
+    shape = inst.inst
+    gens = SNARKGens(shape.num_cons, shape.num_vars, shape.num_inputs,
+                     max_nnz, pcs=pcs)
+    with open(os.path.join(load_dir, "proof.bin"), "rb") as f:
+        proof = deserialize(SNARK, f.read(), pcs=pcs)
+    with open(os.path.join(load_dir, "comm.bin"), "rb") as f:
+        comm = deserialize(R1CSCommitment, f.read(), pcs=pcs)
+
+    report: dict = {"num_cons": shape.num_cons, "pcs": pcs,
+                    "mode": "verify_only", "reps": reps}
+    times = []
+    for i in range(reps):
+        vt = Transcript(b"keyless_bench")
+        Timer.collect()
+        t0 = time.perf_counter()
+        proof.verify(comm, inputs, vt, gens)
+        times.append(time.perf_counter() - t0)
+        if i == reps - 1:
+            report["verify_phases"] = [
+                {"depth": d, "label": lbl, "s": round(dt, 4)}
+                for d, lbl, dt in Timer.records()]
+        Timer.collect(False)
+    report["verify_s"] = min(times)
+    report["verify_s_all"] = [round(t, 4) for t in times]
+    report["verified"] = True
+    if json_out:
+        print(json.dumps(report))
+    else:
+        print(f"  verify (best of {reps}): {min(times):.3f} s  all={times}")
+    return report
+
+
 def run(inst, vars_, inputs, max_nnz, pcs: str = "hyrax", json_out: bool = False,
-        mesh_devices: int = 0, config=None):
+        mesh_devices: int = 0, config=None, save_dir: str | None = None):
     import jax
 
     from spartan_tpu.config import SpartanConfig
@@ -147,6 +193,17 @@ def run(inst, vars_, inputs, max_nnz, pcs: str = "hyrax", json_out: bool = False
 
     from spartan_tpu.utils.serialization import size_bytes
 
+    if save_dir is not None:
+        import os
+
+        from spartan_tpu.utils.serialization import serialize
+
+        os.makedirs(save_dir, exist_ok=True)
+        with open(os.path.join(save_dir, "proof.bin"), "wb") as f:
+            f.write(serialize(proof))
+        with open(os.path.join(save_dir, "comm.bin"), "wb") as f:
+            f.write(serialize(comm))
+
     report["proof_bytes"] = size_bytes(proof)
     # published reference sizes at keyless scale (BENCHMARK_RESULTS.md:86-92)
     report["ref_proof_bytes_keyless"] = 252_314 if pcs == "hyrax" else 120_422
@@ -180,6 +237,12 @@ def main() -> None:
                     help="shard the prover over an N-device mesh")
     ap.add_argument("--profile", metavar="DIR",
                     help="capture a jax profiler trace of the prove phase")
+    ap.add_argument("--save", metavar="DIR",
+                    help="save proof.bin/comm.bin (canonical bytes) after prove")
+    ap.add_argument("--verify-only", metavar="DIR",
+                    help="skip encode/prove; load proof.bin/comm.bin from DIR "
+                         "and time verification alone (requires the same "
+                         "--synthetic/--r1cs instance arguments)")
     args = ap.parse_args()
 
     if args.synthetic is not None:
@@ -189,13 +252,18 @@ def main() -> None:
     else:
         ap.error("provide --r1cs/--wtns or --synthetic LOG2")
 
-    if args.profile:
+    if args.verify_only:
+        verify_only(*data, load_dir=args.verify_only, pcs=args.pcs,
+                    json_out=args.json)
+    elif args.profile:
         import jax
 
         with jax.profiler.trace(args.profile):
-            run(*data, pcs=args.pcs, json_out=args.json, mesh_devices=args.mesh)
+            run(*data, pcs=args.pcs, json_out=args.json, mesh_devices=args.mesh,
+                save_dir=args.save)
     else:
-        run(*data, pcs=args.pcs, json_out=args.json, mesh_devices=args.mesh)
+        run(*data, pcs=args.pcs, json_out=args.json, mesh_devices=args.mesh,
+            save_dir=args.save)
 
 
 if __name__ == "__main__":
